@@ -1,0 +1,23 @@
+"""phylo-tpu: a TPU-native JAX framework for variational combinatorial SMC
+phylogenetic inference.
+
+Re-implements, TPU-first, the capabilities of the reference VCSMC codebase
+(amoretti86/phylo: csmc.py / vcsmc.py / vncsmc.py): Felsenstein-pruning
+partial likelihoods batched over particles x sites x states, JC69/learned-Q
+substitution models with fused batched matrix exponentials, coalescent
+pair-merge proposals, multinomial/systematic resampling, the log Z_SMC ELBO
+trained with Optax, VNCSMC look-ahead twisting as a masked batched pair
+enumeration, and site-axis sharding over a TPU mesh.
+
+Nothing here is a port: the reference is TF1 graph code with growing/
+shrinking loop state and string jump chains; this package uses static-shape
+`lax.scan` sweeps, write-once node-message buffers with ancestry
+indirection, incremental forest posteriors, and integer merge records that
+are decoded to trees host-side.
+"""
+
+__version__ = "0.1.0"
+
+from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies  # noqa: F401
+from phylo_tpu.models.substitution import JC69, ReferenceQ, GTR  # noqa: F401
+from phylo_tpu.dataio.datasets import load_dataset  # noqa: F401

@@ -1,0 +1,12 @@
+from phylo_tpu.dataio.alphabets import (  # noqa: F401
+    DNA_ALPHABET,
+    encode_strings,
+    one_hot_rows,
+)
+from phylo_tpu.dataio.datasets import (  # noqa: F401
+    PhyloDataset,
+    load_dataset,
+    dataset_from_strings,
+    simulate_dna,
+    list_datasets,
+)

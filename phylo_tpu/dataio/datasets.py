@@ -1,0 +1,198 @@
+"""Dataset registry and loaders.
+
+Covers every dataset branch of the reference CLI (reference
+runner.py:117-195): primate, primates_small (primate_data_wang), the Hohna
+DS1-DS11 alignments (shipped zipped), fish, the betacoronavirus one-hot
+pickles (including the A=7 spike dataset), simulated DNA, and literal
+strings.  Datasets the reference references but does not ship
+(coronavirus.p, ginkgo) raise a clear error instead of crashing at
+pd.read_pickle time.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import random
+import zipfile
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from phylo_tpu.dataio.alphabets import DNA_ALPHABET, encode_strings
+
+DEFAULT_DATA_ROOT = os.environ.get("PHYLO_TPU_DATA", "/root/reference/data")
+
+REFERENCE_STRINGS = ["ACTTTGAGAG", "ACTTTGACAG", "ACTTTGACTG", "ACTTTGACTC"]
+
+
+@dataclass
+class PhyloDataset:
+    """taxa names + one-hot genomes, the `datadict` of the reference
+    (vcsmc.py:104-108) as a typed object."""
+
+    name: str
+    taxa: list = field(repr=False)
+    genome: np.ndarray = field(repr=False)  # (N, S, A)
+
+    @property
+    def N(self):
+        return self.genome.shape[0]
+
+    @property
+    def S(self):
+        return self.genome.shape[1]
+
+    @property
+    def A(self):
+        return self.genome.shape[2]
+
+    def __repr__(self):  # pragma: no cover
+        return (
+            f"PhyloDataset({self.name!r}, N={self.N}, S={self.S}, A={self.A})"
+        )
+
+
+def _read_pickle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def dataset_from_strings(strings, taxa=None, name="strings",
+                         alphabet=DNA_ALPHABET):
+    genome = encode_strings(strings, alphabet)
+    if taxa is None:
+        taxa = [f"S{i}" for i in range(len(strings))]
+    return PhyloDataset(name=name, taxa=list(taxa), genome=genome)
+
+
+def simulate_dna(n_taxa, seq_length, seed=0, alphabet=DNA_ALPHABET):
+    """Random iid one-hot genomes (reference `simulateDNA`,
+    runner.py:100-104) with a controllable seed."""
+    rng = random.Random(seed)
+    strings = [
+        "".join(rng.choice(alphabet) for _ in range(seq_length))
+        for _ in range(n_taxa)
+    ]
+    return dataset_from_strings(strings, name=f"simulated_{n_taxa}x{seq_length}")
+
+
+def _taxa_dict_dataset(name, raw):
+    """Build a dataset from a {taxon: sequence-string} dict, preserving
+    insertion order like the reference's list(dict.values())."""
+    taxa = list(raw.keys())
+    genome = encode_strings(list(raw.values()))
+    return PhyloDataset(name=name, taxa=taxa, genome=genome)
+
+
+def _load_hohna(root, idx):
+    zpath = os.path.join(root, "hohna_dataset_pickle.zip")
+    with zipfile.ZipFile(zpath) as z:
+        raw = pickle.loads(z.read(f"DS{idx}.pickle"))
+    return _taxa_dict_dataset(f"hohna_data_{idx}", raw)
+
+
+def _load_onehot_dict(root, name, relpath, genome_key="genome"):
+    raw = _read_pickle(os.path.join(root, relpath))
+    # betacorona2.p spells the key 'gemome' (sic)
+    if genome_key not in raw and "gemome" in raw:
+        genome_key = "gemome"
+    taxa = list(raw["taxa"])
+    if len(taxa) == 1 and isinstance(taxa[0], (list, tuple)):
+        taxa = list(taxa[0])
+    genome = np.asarray(raw[genome_key], dtype=np.float64)
+    if len(taxa) != genome.shape[0]:
+        # betacorona1.p ships 16 taxon names for 17 genomes; fall back to
+        # generated names rather than shipping a broken dataset
+        taxa = [f"S{i}" for i in range(genome.shape[0])]
+    # spikeGP.p ships all-zero rows (no observation); a zero row makes the
+    # site likelihood exactly 0 (log -> -inf).  Treat them as missing data
+    # (all-ones), the same convention as '-'/'?' (runner.py:91-96).
+    zero_rows = genome.sum(axis=-1) == 0
+    if zero_rows.any():
+        genome = genome.copy()
+        genome[zero_rows] = 1.0
+    return PhyloDataset(name=name, taxa=[str(t) for t in taxa], genome=genome)
+
+
+_MISSING = {
+    "corona_data": "data/coronavirus.p is not shipped in the reference repo",
+    "ginkgo": "data/gingko/test_data_14.p is not shipped in the reference repo",
+}
+
+
+def list_datasets():
+    names = [
+        "primate_data",
+        "primate_data_wang",
+        "fish_data",
+        "betacorona1",
+        "betacorona2",
+        "spike_data",
+        "load_strings",
+        "simulate_data",
+    ]
+    names += [f"hohna_data_{i}" for i in range(1, 12)]
+    names += ["hohna_data"]  # alias for DS1, reference runner.py:117
+    return names
+
+
+def load_dataset(name, data_root=None, **kwargs):
+    """Load a dataset by its reference CLI flag name.
+
+    `name` matches the reference's exec-based dataset flags
+    (runner.py:61-195); a few aliases are accepted (e.g. 'primate' for
+    'primate_data', 'DS3' for 'hohna_data_3').
+    """
+    root = data_root or DEFAULT_DATA_ROOT
+    key = name.strip()
+    alias = {
+        "primate": "primate_data",
+        "primates_small": "primate_data_wang",
+        "fish": "fish_data",
+        "strings": "load_strings",
+        "simulated": "simulate_data",
+        "hohna_data": "hohna_data_1",
+        "spikeGP": "spike_data",
+    }
+    key = alias.get(key, key)
+    if key.upper().startswith("DS") and key[2:].isdigit():
+        key = f"hohna_data_{int(key[2:])}"
+
+    if key in _MISSING:
+        raise FileNotFoundError(
+            f"dataset {name!r}: {_MISSING[key]}; use another dataset or "
+            "point data_root at a directory providing it"
+        )
+    if key == "primate_data":
+        return _taxa_dict_dataset(
+            "primate_data", _read_pickle(os.path.join(root, "primate.p"))
+        )
+    if key == "primate_data_wang":
+        return _taxa_dict_dataset(
+            "primate_data_wang",
+            _read_pickle(os.path.join(root, "primates_small.p")),
+        )
+    if key == "fish_data":
+        return _taxa_dict_dataset(
+            "fish_data", _read_pickle(os.path.join(root, "fish.p"))
+        )
+    if key.startswith("hohna_data_"):
+        return _load_hohna(root, int(key.rsplit("_", 1)[1]))
+    if key == "betacorona1":
+        return _load_onehot_dict(root, key, "betacoronavirus/betacorona1.p")
+    if key == "betacorona2":
+        return _load_onehot_dict(root, key, "betacoronavirus/betacorona2.p")
+    if key == "spike_data":
+        return _load_onehot_dict(root, key, "betacoronavirus/spikeGP.p")
+    if key == "load_strings":
+        return dataset_from_strings(
+            kwargs.get("strings", REFERENCE_STRINGS), name="load_strings"
+        )
+    if key == "simulate_data":
+        return simulate_dna(
+            kwargs.get("n_taxa", 3),
+            kwargs.get("seq_length", 5),
+            seed=kwargs.get("seed", 0),
+        )
+    raise KeyError(f"unknown dataset {name!r}; known: {list_datasets()}")

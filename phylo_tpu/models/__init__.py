@@ -1,0 +1,16 @@
+from phylo_tpu.models.expm import (  # noqa: F401
+    expm_ctmc,
+    jc69_transition,
+)
+from phylo_tpu.models.substitution import (  # noqa: F401
+    JC69,
+    ReferenceQ,
+    GTR,
+    get_model,
+)
+from phylo_tpu.models.branches import (  # noqa: F401
+    init_branch_params,
+    branch_rates,
+    sample_branches,
+    exponential_logpdf,
+)

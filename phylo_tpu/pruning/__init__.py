@@ -1,0 +1,8 @@
+from phylo_tpu.pruning.felsenstein import (  # noqa: F401
+    merge_messages,
+    root_log_likelihood,
+)
+from phylo_tpu.pruning.posterior import (  # noqa: F401
+    forest_log_prior,
+    overcounting_correction,
+)

@@ -1,0 +1,60 @@
+"""Felsenstein pruning primitives: message merge + root log-likelihood.
+
+The reference's hot kernel is `broadcast_conditional_likelihood_K`
+(reference vcsmc.py:180-188): P_l = expm(Q b_l), P_r = expm(Q b_r) per
+particle, message = (l_data @ P_l) * (r_data @ P_r) over a K x S x A batch,
+followed by `compute_forest_posterior` (vcsmc.py:231-245) which dots
+stationary probabilities and reduces log over sites and roots.
+
+TPU-first differences:
+
+* transitions come from the closed-form / uniformized expm
+  (phylo_tpu.models.expm) instead of general Pade expm;
+* messages are **rescaled per site** (divide by the per-site max, carry the
+  log of the scale) so float32 never underflows at Hohna-scale trees --
+  the reference needs float64 for this (vcsmc.py:414-422);
+* the merge is einsum-based so XLA fuses expm tail + matmuls + Hadamard in
+  one kernel; an optional Pallas kernel covers the fused merge+reduce path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def merge_messages(l_msg, r_msg, P_l, P_r, *, rescale=True):
+    """Combine two child messages through their branch transitions.
+
+    l_msg, r_msg: (..., S, A) partial likelihoods (possibly scaled).
+    P_l, P_r:     (..., A, A) transition matrices.
+
+    Returns (msg, log_scale_total):
+      msg             (..., S, A) merged message, per-site rescaled if
+                      requested;
+      log_scale_total (...,) sum over sites of log per-site scale factors
+                      (zeros when rescale=False).
+    """
+    lp = jnp.einsum("...sa,...ab->...sb", l_msg, P_l)
+    rp = jnp.einsum("...sa,...ab->...sb", r_msg, P_r)
+    msg = lp * rp
+    if not rescale:
+        return msg, jnp.zeros(msg.shape[:-2], dtype=msg.dtype)
+    scale = jnp.max(msg, axis=-1, keepdims=True)
+    scale = jnp.maximum(scale, jnp.finfo(msg.dtype).tiny)
+    msg = msg / scale
+    log_scale_total = jnp.sum(jnp.log(scale[..., 0]), axis=-1)
+    return msg, log_scale_total
+
+
+def root_log_likelihood(msg, stationary, log_scale_total=None):
+    """Data log-likelihood of a root message:
+    sum_s log(sum_a pi_a msg_{s,a}) (+ accumulated log scales).
+
+    Matches the stationary-dot + log-sum of the reference's tree/forest
+    posteriors (vcsmc.py:197-198,225-226,240-242).
+    """
+    site_lik = jnp.einsum("...sa,a->...s", msg, stationary)
+    ll = jnp.sum(jnp.log(site_lik), axis=-1)
+    if log_scale_total is not None:
+        ll = ll + log_scale_total
+    return ll

@@ -1,0 +1,75 @@
+import numpy as np
+import pytest
+
+from phylo_tpu.dataio import (
+    encode_strings,
+    dataset_from_strings,
+    load_dataset,
+    simulate_dna,
+)
+
+
+def test_encode_strings_one_hot():
+    g = encode_strings(["ACGT", "acgt"])
+    assert g.shape == (2, 4, 4)
+    np.testing.assert_allclose(g[0], np.eye(4))
+    np.testing.assert_allclose(g[1], np.eye(4))
+
+
+def test_encode_gaps_all_ones():
+    g = encode_strings(["A-?T"])
+    np.testing.assert_allclose(g[0, 1], 1.0)
+    np.testing.assert_allclose(g[0, 2], 1.0)
+
+
+def test_encode_rejects_bad_chars():
+    with pytest.raises(ValueError, match="not in alphabet"):
+        encode_strings(["AXGT"])
+
+
+def test_reference_strings_dataset():
+    ds = dataset_from_strings(
+        ["ACTTTGAGAG", "ACTTTGACAG", "ACTTTGACTG", "ACTTTGACTC"]
+    )
+    assert (ds.N, ds.S, ds.A) == (4, 10, 4)
+    assert ds.taxa == ["S0", "S1", "S2", "S3"]
+
+
+def test_simulate_dna_deterministic():
+    a = simulate_dna(3, 5, seed=7)
+    b = simulate_dna(3, 5, seed=7)
+    np.testing.assert_allclose(a.genome, b.genome)
+    assert a.genome.sum() == 15  # one-hot rows
+
+
+@pytest.mark.parametrize(
+    "name,shape",
+    [
+        ("primate_data", (12, 898, 4)),
+        ("primate_data_wang", (9, 738, 4)),
+        ("fish_data", (12, 1047, 4)),
+        ("hohna_data_1", (27, 1949, 4)),
+        ("betacorona1", (17, 3260, 4)),
+        ("spike_data", (22, 1541, 7)),
+    ],
+)
+def test_load_reference_datasets(name, shape):
+    ds = load_dataset(name)
+    assert ds.genome.shape == shape
+    assert len(ds.taxa) == shape[0]
+    # every site row is a one-hot, all-ones ambiguity row, or (spikeGP
+    # ships some) all-zeros row
+    sums = ds.genome.sum(-1)
+    assert set(np.unique(sums)).issubset({1.0, float(ds.A)})
+
+
+def test_aliases():
+    assert load_dataset("DS1").name == "hohna_data_1"
+    assert load_dataset("primate").name == "primate_data"
+
+
+def test_missing_datasets_raise():
+    with pytest.raises(FileNotFoundError, match="not shipped"):
+        load_dataset("corona_data")
+    with pytest.raises(FileNotFoundError, match="not shipped"):
+        load_dataset("ginkgo")

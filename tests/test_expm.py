@@ -1,0 +1,97 @@
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from phylo_tpu.models.expm import expm_ctmc, jc69_transition
+from phylo_tpu.models.substitution import GTR, JC69, ReferenceQ
+
+
+def _random_rate_matrix(rng, A):
+    q = rng.uniform(0.1, 1.0, size=(A, A))
+    np.fill_diagonal(q, 0.0)
+    np.fill_diagonal(q, -q.sum(axis=1))
+    return q
+
+
+def test_jc69_closed_form_matches_scipy(rng):
+    A = 4
+    Q = np.full((A, A), 1.0 / A) - np.eye(A)
+    for b in [0.0, 0.01, 0.3, 1.7, 25.0]:
+        want = scipy.linalg.expm(Q * b)
+        got = np.asarray(jc69_transition(jnp.float64(b), A))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_jc69_batched_shapes():
+    P = jc69_transition(jnp.ones((7, 3)), 4)
+    assert P.shape == (7, 3, 4, 4)
+    np.testing.assert_allclose(np.asarray(P.sum(-1)), 1.0, atol=1e-12)
+
+
+def test_expm_ctmc_matches_scipy(rng):
+    for A in (4, 7):
+        Q = _random_rate_matrix(rng, A)
+        bs = np.array([0.0, 1e-4, 0.05, 0.9, 4.0, 60.0, 400.0])
+        got = np.asarray(expm_ctmc(jnp.asarray(Q), jnp.asarray(bs)))
+        for i, b in enumerate(bs):
+            want = scipy.linalg.expm(Q * b)
+            np.testing.assert_allclose(got[i], want, atol=1e-10)
+
+
+def test_expm_ctmc_rows_sum_to_one(rng):
+    Q = _random_rate_matrix(rng, 4)
+    b = rng.exponential(scale=1.0, size=(64,))
+    P = np.asarray(expm_ctmc(jnp.asarray(Q), jnp.asarray(b)))
+    np.testing.assert_allclose(P.sum(-1), 1.0, atol=1e-10)
+    assert (P >= -1e-12).all()
+
+
+def test_reference_q_construction():
+    m = ReferenceQ(A=4)
+    p = m.init_params(jnp.float64)
+    Q = np.asarray(m.Q(p))
+    # off-diagonal rows sum to 1, diagonal exactly -1
+    # (reference vcsmc.py:138-148)
+    off = Q - np.diag(np.diag(Q))
+    np.testing.assert_allclose(off.sum(axis=1), 1.0, atol=1e-12)
+    np.testing.assert_allclose(np.diag(Q), -1.0, atol=1e-12)
+    pi = np.asarray(m.stationary(p))
+    np.testing.assert_allclose(pi, 0.25, atol=1e-12)
+
+
+def test_jc69_model_q_matches_reference_constants():
+    m = JC69(A=4)
+    Q = np.asarray(m.Q({}))
+    assert Q[0, 1] == 0.25 and Q[0, 0] == -0.75
+
+
+def test_gtr_is_reversible(rng):
+    m = GTR(A=4)
+    p = m.init_params(jnp.float64)
+    p = {
+        "log_exch": jnp.asarray(rng.normal(size=6)),
+        "y_station": jnp.asarray(rng.normal(size=4)),
+    }
+    Q = np.asarray(m.Q(p))
+    pi = np.asarray(m.stationary(p))
+    np.testing.assert_allclose(Q.sum(axis=1), 0.0, atol=1e-12)
+    # detailed balance: pi_i Q_ij == pi_j Q_ji
+    bal = pi[:, None] * Q
+    np.testing.assert_allclose(bal, bal.T, atol=1e-12)
+    # unit expected rate
+    np.testing.assert_allclose(-np.sum(pi * np.diag(Q)), 1.0, atol=1e-12)
+
+
+def test_expm_gradient_flows():
+    import jax
+
+    Q = jnp.asarray(_random_rate_matrix(np.random.default_rng(1), 4))
+
+    def f(b):
+        return expm_ctmc(Q, b)[0, 0]
+
+    g = jax.grad(f)(jnp.float64(0.5))
+    # finite difference
+    eps = 1e-6
+    fd = (f(jnp.float64(0.5 + eps)) - f(jnp.float64(0.5 - eps))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=1e-5)
