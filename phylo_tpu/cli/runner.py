@@ -1,0 +1,120 @@
+"""Experiment driver CLI.
+
+Mirrors the reference flag surface (reference runner.py:12-58: dataset,
+n_particles, batch_size, learning_rate, num_epoch, optimizer,
+branch_prior, M, nested, jcmodel, memory_optimization) and fixes its
+packaging bugs: dataset selection is a registry lookup instead of
+``exec(args.dataset + ' = True')`` (runner.py:81), the non-nested path
+imports the real implementation (runner.py:200 imports the missing
+``vcsmc_jet``), and there is no silently-on ginkgo default
+(runner.py:77).
+
+Usage:
+    python -m phylo_tpu.cli.runner --dataset=primate_data \
+        --n_particles=128 --num_epoch=100 --batch_size=256
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Variational Combinatorial Sequential Monte Carlo "
+        "(TPU-native)"
+    )
+    # -- reference flag surface (runner.py:12-58) --
+    p.add_argument("--dataset", default="primate_data",
+                   help="benchmark dataset to use")
+    p.add_argument("--n_particles", type=int, default=10,
+                   help="number of SMC samples")
+    p.add_argument("--batch_size", type=int, default=256,
+                   help="number of sites on genome per batch")
+    p.add_argument("--learning_rate", type=float, default=0.001)
+    p.add_argument("--num_epoch", type=int, default=100)
+    p.add_argument("--optimizer", default="GradientDescentOptimizer",
+                   help="GradientDescentOptimizer|Adam|sgd|adam")
+    p.add_argument("--branch_prior", type=float, default=float(np.log(10)),
+                   help="hyperparameter for branch length initialization")
+    p.add_argument("--M", type=int, default=10,
+                   help="number of subparticles for look-ahead twisting")
+    p.add_argument("--nested", type=_boolish, default=False,
+                   help="use VNCSMC twisted proposals")
+    p.add_argument("--jcmodel", type=_boolish, default=False,
+                   help="fixed JC69 substitution model")
+    p.add_argument("--memory_optimization", default="on",
+                   help="accepted for reference compatibility; XLA manages "
+                   "memory (the reference toggles TF grappler rewriting)")
+    # -- TPU-native extras --
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resampling", default="multinomial",
+                   choices=["multinomial", "systematic", "stratified",
+                            "none"])
+    p.add_argument("--results_dir", default="./results")
+    p.add_argument("--no_artifacts", action="store_true")
+    p.add_argument("--checkpoint_every", type=int, default=0)
+    p.add_argument("--resume_from", default=None)
+    p.add_argument("--mesh", default=None,
+                   help="comma-separated mesh shape for site sharding, "
+                   "e.g. '4' shards sites over 4 devices")
+    p.add_argument("--reference_compat", type=_boolish, default=True,
+                   help="reproduce reference weight-recursion quirks")
+    p.add_argument("--fixed_partition", type=_boolish, default=False,
+                   help="reference-style fixed site partition per run")
+    return p.parse_args(argv)
+
+
+def _boolish(x):
+    return str(x).lower() == "true"
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from phylo_tpu.dataio import load_dataset
+    from phylo_tpu.train import TrainConfig, train
+
+    ds = load_dataset(args.dataset)
+    print(f"Dataset: {ds.name}  N={ds.N} taxa, S={ds.S} sites, "
+          f"A={ds.A} states")
+
+    mesh_shape = None
+    if args.mesh:
+        mesh_shape = tuple(int(x) for x in args.mesh.split(","))
+
+    config = TrainConfig(
+        n_particles=args.n_particles,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        num_epoch=args.num_epoch,
+        optimizer=args.optimizer,
+        branch_prior=args.branch_prior,
+        M=args.M,
+        nested=args.nested,
+        jcmodel=args.jcmodel,
+        resampling=args.resampling,
+        dtype=args.dtype,
+        seed=args.seed,
+        q_raw_subtraction=args.reference_compat,
+        right_multiplier_bug=args.reference_compat,
+        resample_branch_history=not args.reference_compat,
+        fixed_partition=args.fixed_partition,
+        results_dir=args.results_dir,
+        save_artifacts=not args.no_artifacts,
+        checkpoint_every=args.checkpoint_every,
+        resume_from=args.resume_from,
+        mesh_shape=mesh_shape,
+    )
+    res = train(ds, config)
+    print(f"Done. Final ELBO {res.elbo:.3f}"
+          + (f"; artifacts in {res.save_dir}" if res.save_dir else ""))
+    return res
+
+
+if __name__ == "__main__":
+    main()

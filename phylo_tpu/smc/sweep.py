@@ -87,6 +87,7 @@ class SweepConfig:
     twist: Optional[Any] = None
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class SweepResult:
     log_weights: jnp.ndarray        # (N-1, K)

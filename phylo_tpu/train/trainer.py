@@ -1,0 +1,253 @@
+"""Variational training loop: Optax ascent on the log Z_SMC ELBO.
+
+The reference builds a TF1 graph once and runs Session minibatch steps +
+a full-data eval per epoch (reference vcsmc.py:466-591).  Here the whole
+sweep+gradient is one jitted function; site minibatches are gathered
+inside jit from device-resident data (the reference re-feeds the full
+K x N x S_b x A float64 array host->device every step, vcsmc.py:532-534).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from datetime import datetime
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from phylo_tpu.models.branches import branch_rates, init_branch_params
+from phylo_tpu.models.substitution import get_model
+from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies
+from phylo_tpu.train.minibatch import site_batches
+
+
+@dataclass
+class TrainConfig:
+    """Training configuration; field names mirror the reference CLI
+    (reference runner.py:12-58) with TPU-native extras."""
+
+    n_particles: int = 128
+    batch_size: int = 256            # sites per SGD step
+    learning_rate: float = 0.001
+    num_epoch: int = 100
+    optimizer: str = "GradientDescentOptimizer"   # or 'Adam' / 'sgd' / 'adam'
+    branch_prior: float = float(np.log(10.0))
+    M: int = 10                      # twisting subparticles (nested=True)
+    nested: bool = False
+    jcmodel: bool = False
+    resampling: str = "multinomial"
+    dtype: str = "float32"
+    seed: int = 0
+    # reference-compat quirks (see SweepConfig)
+    q_raw_subtraction: bool = True
+    resample_branch_history: bool = False
+    right_multiplier_bug: bool = True
+    # batching behavior: fresh random batches per epoch (default) or the
+    # reference's fixed partition
+    fixed_partition: bool = False
+    # artifacts
+    results_dir: Optional[str] = None
+    save_artifacts: bool = True
+    collect_trees: bool = True
+    checkpoint_every: int = 0        # epochs; 0 = disabled
+    resume_from: Optional[str] = None
+    # sharding: name of a mesh axis layout, None = single device
+    mesh_shape: Optional[tuple] = None
+    log_every: int = 1
+
+
+@dataclass
+class TrainState:
+    params: dict
+    opt_state: object
+    epoch: int = 0
+
+
+@dataclass
+class TrainResult:
+    params: dict
+    history: dict = field(repr=False)
+    save_dir: Optional[str] = None
+    elbo: float = float("nan")
+
+
+def _optimizer(config):
+    name = config.optimizer.lower()
+    if name in ("adam",):
+        return optax.adam(config.learning_rate)
+    if name in ("gradientdescentoptimizer", "sgd", "gradient_descent"):
+        return optax.sgd(config.learning_rate)
+    raise KeyError(f"unknown optimizer {config.optimizer!r}")
+
+
+def _sweep_config(config, ds_N):
+    twist = None
+    if config.nested:
+        from phylo_tpu.smc.twist import TwistConfig
+
+        twist = TwistConfig(M=config.M)
+    return SweepConfig(
+        K=config.n_particles,
+        resampling=config.resampling,
+        q_raw_subtraction=config.q_raw_subtraction,
+        resample_branch_history=config.resample_branch_history,
+        right_multiplier_bug=config.right_multiplier_bug,
+        twist=twist,
+    )
+
+
+def init_params(dataset, config):
+    dtype = jnp.dtype(config.dtype)
+    model = get_model("jc69" if config.jcmodel else "reference", A=dataset.A)
+    params = {
+        "model": model.init_params(dtype),
+        "branches": init_branch_params(
+            dataset.N, branch_prior=config.branch_prior, dtype=dtype
+        ),
+    }
+    return model, params
+
+
+def train(dataset, config: TrainConfig):
+    """Train on a PhyloDataset; returns TrainResult."""
+    dtype = jnp.dtype(config.dtype)
+    model, params = init_params(dataset, config)
+    sweep_cfg = _sweep_config(config, dataset.N)
+    tx = _optimizer(config)
+
+    leaves = jnp.asarray(dataset.genome, dtype=dtype)
+    S = dataset.S
+
+    opt_state = tx.init(params)
+    start_epoch = 0
+    if config.resume_from:
+        from phylo_tpu.train.checkpoint import restore_checkpoint
+
+        params, opt_state, start_epoch = restore_checkpoint(
+            config.resume_from, params, opt_state
+        )
+
+    @jax.jit
+    def train_step(params, opt_state, key, site_idx):
+        batch = jnp.take(leaves, site_idx, axis=1)
+
+        def loss_fn(p):
+            return -sample_phylogenies(
+                key, batch, model, p, sweep_cfg
+            ).elbo
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, key):
+        return sample_phylogenies(key, leaves, model, params, sweep_cfg)
+
+    key = jax.random.PRNGKey(config.seed)
+    rng = np.random.default_rng(config.seed)
+
+    save_dir = None
+    if config.save_artifacts:
+        from phylo_tpu.train.results import make_save_dir, write_run_params
+
+        save_dir = make_save_dir(config, dataset)
+        write_run_params(save_dir, config, dataset)
+
+    history = {
+        "elbo": [], "Qmatrices": [], "stationary": [],
+        "left_branches": [], "right_branches": [],
+        "log_weights": [], "log_lik": [], "log_lik_R": [],
+        "rates_l": [], "rates_r": [], "epoch_seconds": [],
+        "newick_best": [],
+    }
+
+    fixed_batches = None
+    if config.fixed_partition:
+        fixed_batches = [
+            np.asarray(b)
+            for b in site_batches(rng, S, config.batch_size, drop_last=True)
+        ]
+
+    n_ranks = dataset.N - 1
+    for epoch in range(start_epoch, config.num_epoch):
+        t0 = time.time()
+        if fixed_batches is not None:
+            batches = fixed_batches
+        else:
+            batches = list(
+                site_batches(rng, S, config.batch_size, drop_last=True)
+            )
+        for site_idx in batches:
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = train_step(
+                params, opt_state, sub, jnp.asarray(site_idx)
+            )
+
+        key, sub = jax.random.split(key)
+        res = eval_step(params, sub)
+        elbo = float(res.elbo)
+        dt = time.time() - t0
+
+        history["elbo"].append(elbo)
+        history["Qmatrices"].append(np.asarray(model.Q(params["model"])))
+        history["stationary"].append(
+            np.asarray(model.stationary(params["model"]))
+        )
+        history["left_branches"].append(np.asarray(res.left_branches))
+        history["right_branches"].append(np.asarray(res.right_branches))
+        history["log_weights"].append(np.asarray(res.log_weights))
+        history["log_lik"].append(np.asarray(res.log_likelihood))
+        history["log_lik_R"].append(np.asarray(res.log_likelihood_R))
+        rl, rr = branch_rates(params["branches"])
+        history["rates_l"].append(np.asarray(rl))
+        history["rates_r"].append(np.asarray(rr))
+        history["epoch_seconds"].append(dt)
+
+        if config.collect_trees:
+            from phylo_tpu.viz.trees import decode_genealogy, to_newick
+
+            best_k = int(np.argmax(np.asarray(res.log_weights)[-1]))
+            gen = decode_genealogy(
+                np.asarray(res.ancestors),
+                np.asarray(res.merged_nodes),
+                np.asarray(res.left_branches),
+                np.asarray(res.right_branches),
+            )
+            history["newick_best"].append(to_newick(dataset.taxa,
+                                                    gen[best_k]))
+
+        if config.log_every and (epoch % config.log_every == 0):
+            print(
+                f"epoch {epoch + 1}/{config.num_epoch}  ELBO {elbo:.3f}  "
+                f"log_lik_R max {float(np.max(history['log_lik_R'][-1])):.3f}"
+                f"  {dt:.2f}s"
+            )
+
+        if (
+            config.checkpoint_every
+            and save_dir
+            and (epoch + 1) % config.checkpoint_every == 0
+        ):
+            from phylo_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                os.path.join(save_dir, "ckpt"), params, opt_state, epoch + 1
+            )
+
+    if save_dir:
+        from phylo_tpu.train.results import save_results
+
+        save_results(save_dir, config, dataset, history)
+
+    final_elbo = history["elbo"][-1] if history["elbo"] else float("nan")
+    return TrainResult(
+        params=params, history=history, save_dir=save_dir, elbo=final_elbo
+    )

@@ -1,0 +1,66 @@
+import numpy as np
+
+from phylo_tpu.viz.trees import (
+    decode_genealogy,
+    merge_name_chains,
+    to_newick,
+    tree_probabilities,
+)
+
+TAXA = ["hu", "ch", "go", "or"]
+# N=4, R=3, K=2.  Node ids: leaves 0-3, internal 4,5,6.
+
+
+def _records():
+    # rank 0: particle0 merges (0,1)->4 ; particle1 merges (2,3)->4
+    # rank 1: ancestors [1,1] (both copy particle1); both merge (0,1)->5
+    # rank 2: ancestors [0,1]; merge (5,4)->6 for k0, (4,5)->6 for k1
+    ancestors = np.array([[0, 1], [1, 1], [0, 1]])
+    merged = np.array(
+        [
+            [[0, 1], [2, 3]],
+            [[0, 1], [0, 1]],
+            [[5, 4], [4, 5]],
+        ]
+    )
+    return ancestors, merged
+
+
+def test_decode_lineage_follows_ancestry():
+    ancestors, merged = _records()
+    gen = decode_genealogy(ancestors, merged)
+    # final particle 0: lineage rank2=0, rank1=ancestors[2][0]=0? no --
+    # lineage[r-1] = ancestors[r][lineage[r]]:
+    # lineage[2]=0, lineage[1]=ancestors[2][0]=0, lineage[0]=ancestors[1][0]=1
+    np.testing.assert_array_equal(gen[0]["lineage"], [1, 0, 0])
+    # so its rank-0 merge is particle1's: (2,3)
+    np.testing.assert_array_equal(gen[0]["merges"][0], [2, 3])
+
+
+def test_merge_names_and_newick():
+    ancestors, merged = _records()
+    gen = decode_genealogy(ancestors, merged)
+    chains = merge_name_chains(TAXA, gen)
+    # particle 0: node4 = go+or (from ancestor particle 1), node5 = hu+ch,
+    # node6 = (hu+ch)+(go+or)
+    assert chains[0] == ["go+or", "hu+ch", "hu+ch+go+or"]
+    nwk = to_newick(TAXA, gen[0])
+    assert nwk == "((hu,ch),(go,or));"
+
+
+def test_newick_with_branch_lengths():
+    ancestors, merged = _records()
+    lb = np.full((3, 2), 0.5)
+    rb = np.full((3, 2), 0.25)
+    gen = decode_genealogy(ancestors, merged, lb, rb)
+    nwk = to_newick(TAXA, gen[1])
+    assert ":0.5" in nwk and ":0.25" in nwk
+
+
+def test_tree_probabilities_group_identical_topologies():
+    ancestors, merged = _records()
+    gen = decode_genealogy(ancestors, merged)
+    # both particles end with topology ((hu,ch),(go,or)) -- same clades
+    probs = tree_probabilities(TAXA, gen, np.array([0.0, 0.0]))
+    assert len(probs) == 1
+    np.testing.assert_allclose(probs[0][0], 1.0)
