@@ -1,0 +1,165 @@
+"""Benchmark driver.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline config (BASELINE.md): one training epoch on primate.p at
+K=2048 particles, site batch 256, learned-Q model -- the reference's
+flagship commented sweep config (reference autorun.sh:3).  `value` is
+the epoch wall-clock on this chip; `vs_baseline` is the speedup over the
+reference-equivalent float64 CPU recursion (baselines/torch_reference.py),
+measured once and cached in BASELINE_MEASURED.json.
+
+Usage: python bench.py [--K 2048] [--batch 256] [--epochs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+
+def measure_baseline(genome, K, batch):
+    """Reference-equivalent torch-CPU epoch seconds (cached)."""
+    key = f"primate_K{K}_B{batch}"
+    cache = {}
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+        if key in cache:
+            return cache[key]["epoch_seconds"]
+    from baselines.torch_reference import TorchVCSMC
+
+    m = TorchVCSMC(genome, K=K)
+    t0 = time.time()
+    elbo = m.epoch(batch_size=batch)
+    dt = time.time() - t0
+    import torch
+
+    cache[key] = {
+        "epoch_seconds": dt,
+        "elbo": elbo,
+        "threads": torch.get_num_threads(),
+        "impl": "baselines/torch_reference.py float64 CPU "
+                "(reference-equivalent recursion)",
+    }
+    with open(CACHE, "w") as f:
+        json.dump(cache, f, indent=2)
+    return dt
+
+
+def measure_tpu(genome, K, batch, epochs):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from phylo_tpu.models.branches import init_branch_params
+    from phylo_tpu.models.substitution import ReferenceQ
+    from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies
+
+    N, S, A = genome.shape
+    dtype = jnp.float32
+    model = ReferenceQ(A=A)
+    params = {
+        "model": model.init_params(dtype),
+        "branches": init_branch_params(N, dtype=dtype),
+    }
+    leaves = jax.device_put(jnp.asarray(genome, dtype=dtype))
+    config = SweepConfig(K=K)
+    tx = optax.sgd(0.001)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, key, site_idx):
+        batch_leaves = jnp.take(leaves, site_idx, axis=1)
+
+        def loss_fn(p):
+            return -sample_phylogenies(
+                key, batch_leaves, model, p, config
+            ).elbo
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_elbo(params, key):
+        return sample_phylogenies(key, leaves, model, params, config).elbo
+
+    rng = np.random.default_rng(0)
+    n_batches = max(1, S // batch)
+    key = jax.random.PRNGKey(0)
+
+    def one_epoch(params, opt_state, key):
+        perm = rng.permutation(S)
+        for i in range(n_batches):
+            idx = jnp.asarray(perm[i * batch: (i + 1) * batch])
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = train_step(
+                params, opt_state, sub, idx
+            )
+        key, sub = jax.random.split(key)
+        elbo = eval_elbo(params, sub)
+        return params, opt_state, key, elbo
+
+    # warmup/compile
+    params, opt_state, key, elbo = one_epoch(params, opt_state, key)
+    elbo.block_until_ready()
+
+    t0 = time.time()
+    for _ in range(epochs):
+        params, opt_state, key, elbo = one_epoch(params, opt_state, key)
+    elbo.block_until_ready()
+    per_epoch = (time.time() - t0) / epochs
+
+    # particle x site pruning-update throughput: per epoch the sweep
+    # runs (n_batches * batch + S) sites x K particles x (N-1) merges,
+    # x3 for fwd+bwd on train steps
+    sites_swept = n_batches * batch * 3 + S
+    updates = sites_swept * K * (N - 1)
+    return per_epoch, updates / per_epoch, float(elbo)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--K", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    from phylo_tpu.dataio import load_dataset
+
+    ds = load_dataset("primate")
+
+    per_epoch, updates_per_s, elbo = measure_tpu(
+        ds.genome, args.K, args.batch, args.epochs
+    )
+    if args.skip_baseline:
+        baseline = None
+    else:
+        baseline = measure_baseline(ds.genome, args.K, args.batch)
+
+    out = {
+        "metric": (
+            f"primate.p VCSMC epoch wall-clock (K={args.K}, "
+            f"batch={args.batch}, learned-Q, fwd+bwd+SGD)"
+        ),
+        "value": round(per_epoch, 4),
+        "unit": "s/epoch",
+        "vs_baseline": (
+            round(baseline / per_epoch, 2) if baseline else None
+        ),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -134,6 +134,34 @@ class GTR(_Model):
         return expm_ctmc(self.Q(params), b)
 
 
+class FixedQ(_Model):
+    """A fixed, user-supplied rate matrix with uniform (or supplied)
+    stationary probabilities -- the non-variational CSMC oracle's setup
+    (reference csmc.py:141-150 hardcodes 4x4 and 6x6 generators)."""
+
+    def __init__(self, Q, stationary=None):
+        import numpy as _np
+
+        self._Q = tuple(map(tuple, _np.asarray(Q, dtype=float)))
+        A = len(self._Q)
+        if stationary is None:
+            stationary = [1.0 / A] * A
+        self._pi = tuple(float(x) for x in stationary)
+        self.A = A
+
+    def init_params(self, dtype=jnp.float32):
+        return {}
+
+    def Q(self, params):
+        return jnp.asarray(self._Q)
+
+    def stationary(self, params):
+        return jnp.asarray(self._pi)
+
+    def transition(self, params, b):
+        return expm_ctmc(self.Q(params), b)
+
+
 def get_model(name, A=4):
     name = name.lower()
     if name in ("jc", "jc69", "jcmodel"):

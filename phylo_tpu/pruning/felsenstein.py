@@ -22,17 +22,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def merge_messages(l_msg, r_msg, P_l, P_r, *, rescale=True):
+def merge_messages(l_msg, r_msg, P_l, P_r, *, rescale=True,
+                   site_weights=None):
     """Combine two child messages through their branch transitions.
 
     l_msg, r_msg: (..., S, A) partial likelihoods (possibly scaled).
     P_l, P_r:     (..., A, A) transition matrices.
+    site_weights: optional (S,) per-site weights (0 masks a padded site
+        out of the accumulated log scale).
 
     Returns (msg, log_scale_total):
       msg             (..., S, A) merged message, per-site rescaled if
                       requested;
-      log_scale_total (...,) sum over sites of log per-site scale factors
-                      (zeros when rescale=False).
+      log_scale_total (...,) (weighted) sum over sites of log per-site
+                      scale factors (zeros when rescale=False).
     """
     lp = jnp.einsum("...sa,...ab->...sb", l_msg, P_l)
     rp = jnp.einsum("...sa,...ab->...sb", r_msg, P_r)
@@ -42,19 +45,27 @@ def merge_messages(l_msg, r_msg, P_l, P_r, *, rescale=True):
     scale = jnp.max(msg, axis=-1, keepdims=True)
     scale = jnp.maximum(scale, jnp.finfo(msg.dtype).tiny)
     msg = msg / scale
-    log_scale_total = jnp.sum(jnp.log(scale[..., 0]), axis=-1)
+    log_scale = jnp.log(scale[..., 0])
+    if site_weights is not None:
+        log_scale = log_scale * site_weights
+    log_scale_total = jnp.sum(log_scale, axis=-1)
     return msg, log_scale_total
 
 
-def root_log_likelihood(msg, stationary, log_scale_total=None):
+def root_log_likelihood(msg, stationary, log_scale_total=None,
+                        site_weights=None):
     """Data log-likelihood of a root message:
-    sum_s log(sum_a pi_a msg_{s,a}) (+ accumulated log scales).
+    sum_s [w_s] log(sum_a pi_a msg_{s,a}) (+ accumulated log scales).
 
     Matches the stationary-dot + log-sum of the reference's tree/forest
-    posteriors (vcsmc.py:197-198,225-226,240-242).
+    posteriors (vcsmc.py:197-198,225-226,240-242); site_weights masks
+    padded site columns (sharding) or reweights minibatched sites.
     """
     site_lik = jnp.einsum("...sa,a->...s", msg, stationary)
-    ll = jnp.sum(jnp.log(site_lik), axis=-1)
+    log_site = jnp.log(site_lik)
+    if site_weights is not None:
+        log_site = log_site * site_weights
+    ll = jnp.sum(log_site, axis=-1)
     if log_scale_total is not None:
         ll = ll + log_scale_total
     return ll

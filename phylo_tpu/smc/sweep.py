@@ -141,7 +141,7 @@ def _compact_positions(arr, perm, merge_pos, new_value):
 
 
 def sample_phylogenies(key, leaves, model, params, config, *,
-                       decisions=None):
+                       decisions=None, shardings=None, site_weights=None):
     """Run one full CSMC sweep.
 
     Parameters
@@ -157,6 +157,14 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         tests: 'ancestors' (N-1, K), 'pairs' (N-1, K, 2) positions,
         'branches_l'/'branches_r' (N-1, K).  When provided, the sweep is
         fully deterministic.
+    shardings: optional parallel.SweepSharding; constrains the message
+        buffer (K on 'k', S on 's') and leaves (S on 's') so GSPMD
+        propagates the layout through the scan and reduces per-site
+        partial log-likelihood sums with psum over ICI.
+    site_weights: optional (S,) per-site weights multiplying each site's
+        log-likelihood contribution; 0 masks padded site columns (used
+        when S is padded to a mesh multiple), other values reweight
+        sites (importance-weighted minibatching).
 
     Returns SweepResult.
     """
@@ -165,6 +173,8 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     n_ranks = N - 1
     dtype = leaves.dtype
     leaves = jnp.asarray(leaves)
+    if shardings is not None:
+        leaves = lax.with_sharding_constraint(leaves, shardings.leaves)
 
     stationary = model.stationary(params["model"]).astype(dtype)
     rates_l, rates_r = branch_rates(params["branches"])
@@ -172,10 +182,24 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     rates_r = rates_r.astype(dtype)
 
     # Leaf root log-likelihoods, shared across particles.
-    leaf_ll = root_log_likelihood(leaves, stationary)          # (N,)
+    if site_weights is not None:
+        site_weights = jnp.asarray(site_weights, dtype=dtype)
+        if shardings is not None:
+            site_weights = lax.with_sharding_constraint(
+                site_weights, shardings.sites
+            )
+    leaf_ll = root_log_likelihood(
+        leaves, stationary, site_weights=site_weights
+    )                                                          # (N,)
 
     if config.twist is not None:
         from phylo_tpu.smc.twist import twisted_extend  # lazy import
+
+    internal_msgs0 = jnp.zeros((K, n_ranks, S, A), dtype=dtype)
+    if shardings is not None:
+        internal_msgs0 = lax.with_sharding_constraint(
+            internal_msgs0, shardings.core
+        )
 
     init = dict(
         key=key,
@@ -183,7 +207,7 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         leaf_counts=jnp.ones((K, N), dtype=jnp.int32),
         root_ll=jnp.tile(leaf_ll[None].astype(dtype), (K, 1)),
         row_of_node=jnp.zeros((K, n_ranks), dtype=jnp.int32),
-        internal_msgs=jnp.zeros((K, n_ranks, S, A), dtype=dtype),
+        internal_msgs=internal_msgs0,
         internal_logscale=jnp.zeros((K, n_ranks), dtype=dtype),
         sum_bl=jnp.zeros((K,), dtype=dtype),
         sum_br=jnp.zeros((K,), dtype=dtype),
@@ -236,6 +260,7 @@ def sample_phylogenies(key, leaves, model, params, config, *,
                 slot, leaf_counts, row_of_node,
                 state["internal_msgs"], state["internal_logscale"],
                 r, n_active, rate_l, rate_r, dec,
+                site_weights=site_weights,
             )
         else:
             if decisions is not None:
@@ -274,9 +299,12 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         P_l = model.transition(params["model"], b_l).astype(dtype)
         P_r = model.transition(params["model"], b_r).astype(dtype)
         merged, d_lsc = merge_messages(m1, m2, P_l, P_r,
-                                       rescale=config.rescale)
+                                       rescale=config.rescale,
+                                       site_weights=site_weights)
         node_lsc = d_lsc + lsc1 + lsc2
-        ll_new = root_log_likelihood(merged, stationary) + node_lsc
+        ll_new = root_log_likelihood(
+            merged, stationary, site_weights=site_weights
+        ) + node_lsc
 
         # ---- 5. Write-once buffers --------------------------------------
         zero = jnp.zeros((), dtype=r.dtype)

@@ -61,7 +61,8 @@ def upper_tri_pairs(N):
 
 def twisted_extend(key, config, model, params, stationary, leaves,
                    slot, leaf_counts, row_of_node, internal_msgs,
-                   internal_logscale, r, n_active, rate_l, rate_r, dec):
+                   internal_logscale, r, n_active, rate_l, rate_r, dec,
+                   site_weights=None):
     """Twisted proposal for one rank.
 
     Returns (p1, p2, b_l, b_r, q_pen) where q_pen is the log proposal
@@ -103,18 +104,19 @@ def twisted_extend(key, config, model, params, stationary, leaves,
                              row_of_node, n1)
         m2, _ = _node_lookup(leaves, internal_msgs, internal_logscale,
                              row_of_node, n2)
-        ll_l = jnp.sum(
-            jnp.log(jnp.einsum("ksa,a->ks", m1, stationary)), axis=-1
-        )
-        ll_r = jnp.sum(
-            jnp.log(jnp.einsum("ksa,a->ks", m2, stationary)), axis=-1
-        )
+        def _site_sum(log_site):
+            if site_weights is not None:
+                log_site = log_site * site_weights
+            return jnp.sum(log_site, axis=-1)
+
+        ll_l = _site_sum(jnp.log(jnp.einsum("ksa,a->ks", m1, stationary)))
+        ll_r = _site_sum(jnp.log(jnp.einsum("ksa,a->ks", m2, stationary)))
         P_l = model.transition(params["model"], bl_mk).astype(dtype)
         P_r = model.transition(params["model"], br_mk).astype(dtype)
         u = jnp.einsum("ksa,mkab->mksb", m1, P_l)
         v = jnp.einsum("ksa,mkab->mksb", m2, P_r)
         site_lik = jnp.einsum("mksb,b->mks", u * v, stationary)
-        ll_m = jnp.sum(jnp.log(site_lik), axis=-1)     # (M, K)
+        ll_m = _site_sum(jnp.log(site_lik))            # (M, K)
 
         c1 = leaf_counts[jnp.arange(K), i]
         c2 = leaf_counts[jnp.arange(K), j]

@@ -124,6 +124,14 @@ def train(dataset, config: TrainConfig):
     leaves = jnp.asarray(dataset.genome, dtype=dtype)
     S = dataset.S
 
+    shardings = None
+    if config.mesh_shape:
+        from phylo_tpu.parallel import make_mesh, sweep_sharding
+
+        mesh = make_mesh(tuple(config.mesh_shape))
+        shardings = sweep_sharding(mesh)
+        leaves = jax.device_put(leaves, shardings.leaves)
+
     opt_state = tx.init(params)
     start_epoch = 0
     if config.resume_from:
@@ -139,7 +147,7 @@ def train(dataset, config: TrainConfig):
 
         def loss_fn(p):
             return -sample_phylogenies(
-                key, batch, model, p, sweep_cfg
+                key, batch, model, p, sweep_cfg, shardings=shardings
             ).elbo
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -149,7 +157,9 @@ def train(dataset, config: TrainConfig):
 
     @jax.jit
     def eval_step(params, key):
-        return sample_phylogenies(key, leaves, model, params, sweep_cfg)
+        return sample_phylogenies(
+            key, leaves, model, params, sweep_cfg, shardings=shardings
+        )
 
     key = jax.random.PRNGKey(config.seed)
     rng = np.random.default_rng(config.seed)
