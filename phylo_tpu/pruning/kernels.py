@@ -1,0 +1,202 @@
+"""Fused Pallas TPU kernel for the Felsenstein pruning hot op.
+
+One kernel evaluates, per (particle-tile, site-tile) grid cell:
+
+    u = m1 @ P_l          (contract the A states through the left branch)
+    v = m2 @ P_r
+    w = u * v             (Hadamard merge)
+    merged = w / max_A w  (per-site Felsenstein rescale)
+    rootll   += sum_s w_s * log(pi . w)      (site-weighted, accumulated)
+    logscale += sum_s w_s * log(max_A w)
+
+replacing the reference's expm -> matmul -> matmul -> multiply -> matmul
+-> log -> reduce chain (reference vcsmc.py:180-188,231-245) with a single
+VMEM-resident pass: the merged message is produced AND consumed on-chip,
+so HBM sees each message exactly once.
+
+Layout: states-major (A, K, S) for messages, so the site axis rides the
+128-wide vector lanes and particle tiles ride sublanes; A is a tiny
+unrolled loop.  Transition matrices ride as (K, A*A) rows; the scalar
+reductions accumulate into (K, 1) outputs across the site-tile grid
+dimension (sequential on TPU).  The backward pass is delegated to the
+jnp reference implementation via custom_vjp (residuals = inputs), so the
+kernel accelerates forward/eval paths with exact AD semantics.
+
+Use `fused_merge_loglik(...)`; it handles layout conversion, padding,
+and non-TPU fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+TK = 8     # particles per block (sublanes)
+TS = 512   # sites per block (lanes)
+
+
+def _ref_impl(m1, m2, P_l, P_r, pi, weights):
+    """jnp reference of the fused op on (K, S, A) inputs.  Returns
+    (merged_scaled, rootll, logscale) with site-weighted reductions."""
+    u = jnp.einsum("ksa,kab->ksb", m1, P_l, precision="highest")
+    v = jnp.einsum("ksa,kab->ksb", m2, P_r, precision="highest")
+    w = u * v
+    scale = jnp.maximum(
+        jnp.max(w, axis=-1), jnp.finfo(w.dtype).tiny
+    )                                                   # (K, S)
+    merged = w / scale[..., None]
+    site_ll = jnp.log(jnp.einsum("ksa,a->ks", w, pi, precision="highest"))   # unscaled
+    rootll = jnp.sum(site_ll * weights[None, :], axis=-1)
+    logscale = jnp.sum(jnp.log(scale) * weights[None, :], axis=-1)
+    return merged, rootll, logscale
+
+
+def _kernel(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
+            merged_ref, rootll_ref, logscale_ref, *, A):
+    from jax.experimental import pallas as pl
+
+    js = pl.program_id(1)
+
+    m1 = m1_ref[:]            # (A, TK, TS)
+    m2 = m2_ref[:]
+    weights = w_ref[:]        # (1, TS)
+
+    w_planes = []
+    for b in range(A):
+        u_b = None
+        v_b = None
+        for a in range(A):
+            pl_ab = pl_ref[:, a * A + b][:, None]      # (TK, 1)
+            pr_ab = pr_ref[:, a * A + b][:, None]
+            tu = m1[a] * pl_ab
+            tv = m2[a] * pr_ab
+            u_b = tu if u_b is None else u_b + tu
+            v_b = tv if v_b is None else v_b + tv
+        w_planes.append(u_b * v_b)
+
+    scale = w_planes[0]
+    for b in range(1, A):
+        scale = jnp.maximum(scale, w_planes[b])
+    tiny = jnp.finfo(scale.dtype).tiny
+    scale = jnp.maximum(scale, tiny)
+
+    site_lik = None
+    for b in range(A):
+        merged_ref[b] = w_planes[b] / scale
+        term = w_planes[b] * pi_ref[0, b]
+        site_lik = term if site_lik is None else site_lik + term
+
+    rootll_part = jnp.sum(
+        jnp.log(site_lik) * weights, axis=-1, keepdims=True
+    )                                                   # (TK, 1)
+    logscale_part = jnp.sum(
+        jnp.log(scale) * weights, axis=-1, keepdims=True
+    )
+
+    @pl.when(js == 0)
+    def _():
+        rootll_ref[:] = jnp.zeros_like(rootll_ref)
+        logscale_ref[:] = jnp.zeros_like(logscale_ref)
+
+    rootll_ref[:] += rootll_part
+    logscale_ref[:] += logscale_part
+
+
+def _pallas_forward(m1, m2, P_l, P_r, pi, weights):
+    """Inputs in kernel layout: m1/m2 (A, Kp, Sp), P (Kp, A*A),
+    pi (1, A), weights (1, Sp); Kp % TK == 0, Sp % TS == 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, K, Sp = m1.shape
+    grid = (K // TK, Sp // TS)
+    dtype = m1.dtype
+
+    msg_spec = pl.BlockSpec(
+        (A, TK, TS), lambda ik, js: (0, ik, js),
+        memory_space=pltpu.VMEM,
+    )
+    p_spec = pl.BlockSpec(
+        (TK, A * A), lambda ik, js: (ik, 0), memory_space=pltpu.VMEM
+    )
+    pi_spec = pl.BlockSpec(
+        (1, A), lambda ik, js: (0, 0), memory_space=pltpu.VMEM
+    )
+    w_spec = pl.BlockSpec(
+        (1, TS), lambda ik, js: (0, js), memory_space=pltpu.VMEM
+    )
+    acc_spec = pl.BlockSpec(
+        (TK, 1), lambda ik, js: (ik, 0), memory_space=pltpu.VMEM
+    )
+
+    merged, rootll, logscale = pl.pallas_call(
+        functools.partial(_kernel, A=A),
+        grid=grid,
+        in_specs=[msg_spec, msg_spec, p_spec, p_spec, pi_spec, w_spec],
+        out_specs=[msg_spec, acc_spec, acc_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((A, K, Sp), dtype),
+            jax.ShapeDtypeStruct((K, 1), dtype),
+            jax.ShapeDtypeStruct((K, 1), dtype),
+        ],
+    )(m1, m2, P_l, P_r, pi, weights)
+    return merged, rootll[:, 0], logscale[:, 0]
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@jax.custom_vjp
+def fused_merge_loglik(m1, m2, P_l, P_r, pi, weights):
+    """Fused pruning merge + root log-likelihood.
+
+    m1, m2: (K, S, A) scaled child messages; P_l, P_r: (K, A, A);
+    pi: (A,); weights: (S,) site weights (1s when unweighted).
+
+    Returns (merged_scaled (K, S, A), rootll (K,), logscale (K,)).
+    Uses the Pallas TPU kernel on TPU backends, the jnp reference
+    elsewhere; gradients always via the jnp reference.
+    """
+    return _forward(m1, m2, P_l, P_r, pi, weights)
+
+
+def _forward(m1, m2, P_l, P_r, pi, weights):
+    if jax.default_backend() != "tpu":
+        return _ref_impl(m1, m2, P_l, P_r, pi, weights)
+    K, S, A = m1.shape
+    Kp = _round_up(K, TK)
+    Sp = _round_up(S, TS)
+    # kernel layout + padding; padded sites get weight 0 and message 1
+    def to_kernel(x):
+        x = jnp.transpose(x, (2, 0, 1))            # (A, K, S)
+        return jnp.pad(x, ((0, 0), (0, Kp - K), (0, Sp - S)),
+                       constant_values=1.0)
+
+    m1k = to_kernel(m1)
+    m2k = to_kernel(m2)
+    pk_l = jnp.pad(P_l.reshape(K, A * A), ((0, Kp - K), (0, 0)),
+                   constant_values=1.0)
+    pk_r = jnp.pad(P_r.reshape(K, A * A), ((0, Kp - K), (0, 0)),
+                   constant_values=1.0)
+    wk = jnp.pad(weights[None], ((0, 0), (0, Sp - S)))
+    merged, rootll, logscale = _pallas_forward(
+        m1k, m2k, pk_l, pk_r, pi[None], wk
+    )
+    merged = jnp.transpose(merged[:, :K, :S], (1, 2, 0))
+    return merged, rootll[:K], logscale[:K]
+
+
+def _fwd(m1, m2, P_l, P_r, pi, weights):
+    out = _forward(m1, m2, P_l, P_r, pi, weights)
+    return out, (m1, m2, P_l, P_r, pi, weights)
+
+
+def _bwd(residuals, cotangents):
+    _, vjp = jax.vjp(_ref_impl, *residuals)
+    return vjp(cotangents)
+
+
+fused_merge_loglik.defvjp(_fwd, _bwd)

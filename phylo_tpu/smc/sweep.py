@@ -76,6 +76,9 @@ class SweepConfig:
         True for parity.
     rescale: per-site Felsenstein rescaling of messages.
     twist: optional TwistConfig enabling VNCSMC look-ahead proposals.
+    use_pallas: fuse the merge + root-log-likelihood hot op into the
+        Pallas TPU kernel (pruning.kernels); falls back to the jnp path
+        on non-TPU backends and when rescale=False.
     """
 
     K: int
@@ -85,6 +88,7 @@ class SweepConfig:
     right_multiplier_bug: bool = True
     rescale: bool = True
     twist: Optional[Any] = None
+    use_pallas: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -298,13 +302,24 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         # ---- 4. Pruning update (the hot kernel) ------------------------
         P_l = model.transition(params["model"], b_l).astype(dtype)
         P_r = model.transition(params["model"], b_r).astype(dtype)
-        merged, d_lsc = merge_messages(m1, m2, P_l, P_r,
-                                       rescale=config.rescale,
-                                       site_weights=site_weights)
-        node_lsc = d_lsc + lsc1 + lsc2
-        ll_new = root_log_likelihood(
-            merged, stationary, site_weights=site_weights
-        ) + node_lsc
+        if config.use_pallas and config.rescale:
+            from phylo_tpu.pruning.kernels import fused_merge_loglik
+
+            w_vec = (site_weights if site_weights is not None
+                     else jnp.ones((S,), dtype))
+            merged, rootll_raw, d_lsc = fused_merge_loglik(
+                m1, m2, P_l, P_r, stationary, w_vec
+            )
+            node_lsc = d_lsc + lsc1 + lsc2
+            ll_new = rootll_raw + lsc1 + lsc2
+        else:
+            merged, d_lsc = merge_messages(m1, m2, P_l, P_r,
+                                           rescale=config.rescale,
+                                           site_weights=site_weights)
+            node_lsc = d_lsc + lsc1 + lsc2
+            ll_new = root_log_likelihood(
+                merged, stationary, site_weights=site_weights
+            ) + node_lsc
 
         # ---- 5. Write-once buffers --------------------------------------
         zero = jnp.zeros((), dtype=r.dtype)
