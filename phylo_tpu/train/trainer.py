@@ -125,12 +125,19 @@ def train(dataset, config: TrainConfig):
     S = dataset.S
 
     shardings = None
+    eval_weights = None
     if config.mesh_shape:
-        from phylo_tpu.parallel import make_mesh, sweep_sharding
+        from phylo_tpu.parallel import make_mesh, pad_sites, sweep_sharding
 
         mesh = make_mesh(tuple(config.mesh_shape))
         shardings = sweep_sharding(mesh)
-        leaves = jax.device_put(leaves, shardings.leaves)
+        padded, w = pad_sites(dataset.genome, shardings.site_multiple())
+        leaves = jax.device_put(
+            jnp.asarray(padded, dtype=dtype), shardings.leaves
+        )
+        eval_weights = jax.device_put(
+            jnp.asarray(w, dtype=dtype), shardings.sites
+        )
 
     opt_state = tx.init(params)
     start_epoch = 0
@@ -158,7 +165,8 @@ def train(dataset, config: TrainConfig):
     @jax.jit
     def eval_step(params, key):
         return sample_phylogenies(
-            key, leaves, model, params, sweep_cfg, shardings=shardings
+            key, leaves, model, params, sweep_cfg, shardings=shardings,
+            site_weights=eval_weights,
         )
 
     key = jax.random.PRNGKey(config.seed)
