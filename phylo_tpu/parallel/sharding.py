@@ -26,8 +26,9 @@ class SweepSharding:
     particles: (K, ...) vectors -> K on 'k' (if present)
     """
 
-    leaves: NamedSharding
-    core: NamedSharding
+    leaves: NamedSharding       # public (N, S, A) input
+    leaves_sm: NamedSharding    # internal states-major (N, A, S)
+    core: NamedSharding         # internal (K, N-1, A, S) message buffer
     particles: NamedSharding
     sites: NamedSharding
     replicated: NamedSharding
@@ -45,7 +46,8 @@ def sweep_sharding(mesh: Mesh) -> SweepSharding:
     s_ax = "s" if "s" in names else None
     return SweepSharding(
         leaves=NamedSharding(mesh, P(None, s_ax, None)),
-        core=NamedSharding(mesh, P(k_ax, None, s_ax, None)),
+        leaves_sm=NamedSharding(mesh, P(None, None, s_ax)),
+        core=NamedSharding(mesh, P(k_ax, None, None, s_ax)),
         particles=NamedSharding(mesh, P(k_ax)),
         sites=NamedSharding(mesh, P(s_ax)),
         replicated=NamedSharding(mesh, P()),

@@ -75,3 +75,43 @@ def root_log_likelihood(msg, stationary, log_scale_total=None,
     if log_scale_total is not None:
         ll = ll + log_scale_total
     return ll
+
+
+# ---------------------------------------------------------------------
+# States-major (..., A, S) variants -- the sweep's internal layout.
+# Sites ride the fastest-varying axis so TPU vector lanes see contiguous
+# site runs and the Pallas kernel consumes buffers without transposes.
+# ---------------------------------------------------------------------
+
+def merge_messages_sm(l_msg, r_msg, P_l, P_r, *, rescale=True,
+                      site_weights=None):
+    """States-major merge: l_msg/r_msg (..., A, S), P (..., A, A) ->
+    (msg (..., A, S), log_scale_total (...,))."""
+    lp = jnp.einsum("...as,...ab->...bs", l_msg, P_l,
+                    precision="highest")
+    rp = jnp.einsum("...as,...ab->...bs", r_msg, P_r,
+                    precision="highest")
+    msg = lp * rp
+    if not rescale:
+        return msg, jnp.zeros(msg.shape[:-2], dtype=msg.dtype)
+    scale = jnp.max(msg, axis=-2, keepdims=True)
+    scale = jnp.maximum(scale, jnp.finfo(msg.dtype).tiny)
+    msg = msg / scale
+    log_scale = jnp.log(scale[..., 0, :])
+    if site_weights is not None:
+        log_scale = log_scale * site_weights
+    return msg, jnp.sum(log_scale, axis=-1)
+
+
+def root_log_likelihood_sm(msg, stationary, log_scale_total=None,
+                           site_weights=None):
+    """States-major root log-likelihood: msg (..., A, S) -> (...,)."""
+    site_lik = jnp.einsum("...as,a->...s", msg, stationary,
+                          precision="highest")
+    log_site = jnp.log(site_lik)
+    if site_weights is not None:
+        log_site = log_site * site_weights
+    ll = jnp.sum(log_site, axis=-1)
+    if log_scale_total is not None:
+        ll = ll + log_scale_total
+    return ll

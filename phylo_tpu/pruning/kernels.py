@@ -2,28 +2,28 @@
 
 One kernel evaluates, per (particle-tile, site-tile) grid cell:
 
-    u = m1 @ P_l          (contract the A states through the left branch)
-    v = m2 @ P_r
-    w = u * v             (Hadamard merge)
-    merged = w / max_A w  (per-site Felsenstein rescale)
-    rootll   += sum_s w_s * log(pi . w)      (site-weighted, accumulated)
+    u = P_l^T contracted with m1   (states through the left branch)
+    v = P_r^T contracted with m2
+    w = u * v                      (Hadamard merge)
+    merged = w / max_A w           (per-site Felsenstein rescale)
+    rootll   += sum_s w_s * log(pi . w)   (site-weighted, accumulated)
     logscale += sum_s w_s * log(max_A w)
 
 replacing the reference's expm -> matmul -> matmul -> multiply -> matmul
 -> log -> reduce chain (reference vcsmc.py:180-188,231-245) with a single
 VMEM-resident pass: the merged message is produced AND consumed on-chip,
-so HBM sees each message exactly once.
+so HBM sees each message exactly once -- and the A-contraction runs in
+native float32 on the VPU, avoiding both the TPU's bfloat16 default
+matmul precision and XLA's 6-pass f32-emulation cost.
 
-Layout: states-major (A, K, S) for messages, so the site axis rides the
-128-wide vector lanes and particle tiles ride sublanes; A is a tiny
-unrolled loop.  Transition matrices ride as (K, A*A) rows; the scalar
-reductions accumulate into (K, 1) outputs across the site-tile grid
-dimension (sequential on TPU).  The backward pass is delegated to the
-jnp reference implementation via custom_vjp (residuals = inputs), so the
-kernel accelerates forward/eval paths with exact AD semantics.
-
-Use `fused_merge_loglik(...)`; it handles layout conversion, padding,
-and non-TPU fallback.
+Layout: the sweep's native states-major (K, A, S) -- site tiles ride the
+128-wide vector lanes, the A axis is a tiny unrolled loop, particle
+tiles ride the leading block dim.  No transposes at the kernel boundary.
+Transition matrices ride as (K, A*A) rows; the scalar reductions
+accumulate into (K, 1) outputs across the (sequential) site-tile grid
+dimension.  The backward pass is delegated to the jnp reference
+implementation via custom_vjp (residuals = inputs), so the kernel
+accelerates forward/eval paths with exact AD semantics.
 """
 
 from __future__ import annotations
@@ -33,21 +33,23 @@ import functools
 import jax
 import jax.numpy as jnp
 
-TK = 8     # particles per block (sublanes)
+TK = 8     # particles per block
 TS = 512   # sites per block (lanes)
 
 
 def _ref_impl(m1, m2, P_l, P_r, pi, weights):
-    """jnp reference of the fused op on (K, S, A) inputs.  Returns
-    (merged_scaled, rootll, logscale) with site-weighted reductions."""
-    u = jnp.einsum("ksa,kab->ksb", m1, P_l, precision="highest")
-    v = jnp.einsum("ksa,kab->ksb", m2, P_r, precision="highest")
+    """jnp reference of the fused op on states-major (K, A, S) inputs.
+    Returns (merged_scaled, rootll, logscale), site-weighted."""
+    u = jnp.einsum("kas,kab->kbs", m1, P_l, precision="highest")
+    v = jnp.einsum("kas,kab->kbs", m2, P_r, precision="highest")
     w = u * v
     scale = jnp.maximum(
-        jnp.max(w, axis=-1), jnp.finfo(w.dtype).tiny
+        jnp.max(w, axis=-2), jnp.finfo(w.dtype).tiny
     )                                                   # (K, S)
-    merged = w / scale[..., None]
-    site_ll = jnp.log(jnp.einsum("ksa,a->ks", w, pi, precision="highest"))   # unscaled
+    merged = w / scale[:, None, :]
+    site_ll = jnp.log(
+        jnp.einsum("kas,a->ks", w, pi, precision="highest")
+    )                                                   # unscaled
     rootll = jnp.sum(site_ll * weights[None, :], axis=-1)
     logscale = jnp.sum(jnp.log(scale) * weights[None, :], axis=-1)
     return merged, rootll, logscale
@@ -59,8 +61,6 @@ def _kernel(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
 
     js = pl.program_id(1)
 
-    m1 = m1_ref[:]            # (A, TK, TS)
-    m2 = m2_ref[:]
     weights = w_ref[:]        # (1, TS)
 
     w_planes = []
@@ -70,8 +70,8 @@ def _kernel(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
         for a in range(A):
             pl_ab = pl_ref[:, a * A + b][:, None]      # (TK, 1)
             pr_ab = pr_ref[:, a * A + b][:, None]
-            tu = m1[a] * pl_ab
-            tv = m2[a] * pr_ab
+            tu = m1_ref[:, a, :] * pl_ab               # (TK, TS)
+            tv = m2_ref[:, a, :] * pr_ab
             u_b = tu if u_b is None else u_b + tu
             v_b = tv if v_b is None else v_b + tv
         w_planes.append(u_b * v_b)
@@ -84,7 +84,7 @@ def _kernel(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
 
     site_lik = None
     for b in range(A):
-        merged_ref[b] = w_planes[b] / scale
+        merged_ref[:, b, :] = w_planes[b] / scale
         term = w_planes[b] * pi_ref[0, b]
         site_lik = term if site_lik is None else site_lik + term
 
@@ -105,17 +105,17 @@ def _kernel(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
 
 
 def _pallas_forward(m1, m2, P_l, P_r, pi, weights):
-    """Inputs in kernel layout: m1/m2 (A, Kp, Sp), P (Kp, A*A),
+    """Inputs in native layout: m1/m2 (Kp, A, Sp), P (Kp, A*A),
     pi (1, A), weights (1, Sp); Kp % TK == 0, Sp % TS == 0."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    A, K, Sp = m1.shape
+    K, A, Sp = m1.shape
     grid = (K // TK, Sp // TS)
     dtype = m1.dtype
 
     msg_spec = pl.BlockSpec(
-        (A, TK, TS), lambda ik, js: (0, ik, js),
+        (TK, A, TS), lambda ik, js: (ik, 0, js),
         memory_space=pltpu.VMEM,
     )
     p_spec = pl.BlockSpec(
@@ -137,7 +137,7 @@ def _pallas_forward(m1, m2, P_l, P_r, pi, weights):
         in_specs=[msg_spec, msg_spec, p_spec, p_spec, pi_spec, w_spec],
         out_specs=[msg_spec, acc_spec, acc_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((A, K, Sp), dtype),
+            jax.ShapeDtypeStruct((K, A, Sp), dtype),
             jax.ShapeDtypeStruct((K, 1), dtype),
             jax.ShapeDtypeStruct((K, 1), dtype),
         ],
@@ -151,12 +151,12 @@ def _round_up(x, m):
 
 @jax.custom_vjp
 def fused_merge_loglik(m1, m2, P_l, P_r, pi, weights):
-    """Fused pruning merge + root log-likelihood.
+    """Fused pruning merge + root log-likelihood (states-major).
 
-    m1, m2: (K, S, A) scaled child messages; P_l, P_r: (K, A, A);
+    m1, m2: (K, A, S) scaled child messages; P_l, P_r: (K, A, A);
     pi: (A,); weights: (S,) site weights (1s when unweighted).
 
-    Returns (merged_scaled (K, S, A), rootll (K,), logscale (K,)).
+    Returns (merged_scaled (K, A, S), rootll (K,), logscale (K,)).
     Uses the Pallas TPU kernel on TPU backends, the jnp reference
     elsewhere; gradients always via the jnp reference.
     """
@@ -166,17 +166,14 @@ def fused_merge_loglik(m1, m2, P_l, P_r, pi, weights):
 def _forward(m1, m2, P_l, P_r, pi, weights):
     if jax.default_backend() != "tpu":
         return _ref_impl(m1, m2, P_l, P_r, pi, weights)
-    K, S, A = m1.shape
+    K, A, S = m1.shape
     Kp = _round_up(K, TK)
     Sp = _round_up(S, TS)
-    # kernel layout + padding; padded sites get weight 0 and message 1
-    def to_kernel(x):
-        x = jnp.transpose(x, (2, 0, 1))            # (A, K, S)
-        return jnp.pad(x, ((0, 0), (0, Kp - K), (0, Sp - S)),
-                       constant_values=1.0)
-
-    m1k = to_kernel(m1)
-    m2k = to_kernel(m2)
+    # padded sites carry weight 0 and message 1; padded particles get
+    # all-ones transitions (results sliced away)
+    pad_msg = ((0, Kp - K), (0, 0), (0, Sp - S))
+    m1k = jnp.pad(m1, pad_msg, constant_values=1.0)
+    m2k = jnp.pad(m2, pad_msg, constant_values=1.0)
     pk_l = jnp.pad(P_l.reshape(K, A * A), ((0, Kp - K), (0, 0)),
                    constant_values=1.0)
     pk_r = jnp.pad(P_r.reshape(K, A * A), ((0, Kp - K), (0, 0)),
@@ -185,8 +182,7 @@ def _forward(m1, m2, P_l, P_r, pi, weights):
     merged, rootll, logscale = _pallas_forward(
         m1k, m2k, pk_l, pk_r, pi[None], wk
     )
-    merged = jnp.transpose(merged[:, :K, :S], (1, 2, 0))
-    return merged, rootll[:K], logscale[:K]
+    return merged[:K, :, :S], rootll[:K], logscale[:K]
 
 
 def _fwd(m1, m2, P_l, P_r, pi, weights):

@@ -42,7 +42,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from phylo_tpu.models.branches import branch_rates, sample_branches
-from phylo_tpu.pruning.felsenstein import merge_messages, root_log_likelihood
+from phylo_tpu.pruning.felsenstein import (
+    merge_messages_sm,
+    root_log_likelihood_sm,
+)
 from phylo_tpu.pruning.posterior import (
     forest_log_prior,
     overcounting_correction,
@@ -181,9 +184,11 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     K = config.K
     n_ranks = N - 1
     dtype = leaves.dtype
-    leaves = jnp.asarray(leaves)
+    # states-major internal layout (N, A, S): site tiles ride TPU vector
+    # lanes and the Pallas kernel consumes buffers without transposes
+    leaves = jnp.swapaxes(jnp.asarray(leaves), -1, -2)
     if shardings is not None:
-        leaves = lax.with_sharding_constraint(leaves, shardings.leaves)
+        leaves = lax.with_sharding_constraint(leaves, shardings.leaves_sm)
 
     stationary = model.stationary(params["model"]).astype(dtype)
     rates_l, rates_r = branch_rates(params["branches"])
@@ -197,14 +202,14 @@ def sample_phylogenies(key, leaves, model, params, config, *,
             site_weights = lax.with_sharding_constraint(
                 site_weights, shardings.sites
             )
-    leaf_ll = root_log_likelihood(
+    leaf_ll = root_log_likelihood_sm(
         leaves, stationary, site_weights=site_weights
     )                                                          # (N,)
 
     if config.twist is not None:
         from phylo_tpu.smc.twist import twisted_extend  # lazy import
 
-    internal_msgs0 = jnp.zeros((K, n_ranks, S, A), dtype=dtype)
+    internal_msgs0 = jnp.zeros((K, n_ranks, A, S), dtype=dtype)
     if shardings is not None:
         internal_msgs0 = lax.with_sharding_constraint(
             internal_msgs0, shardings.core
@@ -318,11 +323,11 @@ def sample_phylogenies(key, leaves, model, params, config, *,
             node_lsc = d_lsc + lsc1 + lsc2
             ll_new = rootll_raw + lsc1 + lsc2
         else:
-            merged, d_lsc = merge_messages(m1, m2, P_l, P_r,
-                                           rescale=config.rescale,
-                                           site_weights=site_weights)
+            merged, d_lsc = merge_messages_sm(m1, m2, P_l, P_r,
+                                              rescale=config.rescale,
+                                              site_weights=site_weights)
             node_lsc = d_lsc + lsc1 + lsc2
-            ll_new = root_log_likelihood(
+            ll_new = root_log_likelihood_sm(
                 merged, stationary, site_weights=site_weights
             ) + node_lsc
 

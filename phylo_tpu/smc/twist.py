@@ -73,7 +73,7 @@ def twisted_extend(key, config, model, params, stationary, leaves,
 
     twist = config.twist
     M = twist.M
-    N, S, A = leaves.shape
+    N, A, S = leaves.shape    # sweep-internal states-major layout
     K = config.K
     dtype = leaves.dtype
 
@@ -109,13 +109,17 @@ def twisted_extend(key, config, model, params, stationary, leaves,
                 log_site = log_site * site_weights
             return jnp.sum(log_site, axis=-1)
 
-        ll_l = _site_sum(jnp.log(jnp.einsum("ksa,a->ks", m1, stationary, precision="highest")))
-        ll_r = _site_sum(jnp.log(jnp.einsum("ksa,a->ks", m2, stationary, precision="highest")))
+        # messages are states-major (K, A, S)
+        ll_l = _site_sum(jnp.log(jnp.einsum(
+            "kas,a->ks", m1, stationary, precision="highest")))
+        ll_r = _site_sum(jnp.log(jnp.einsum(
+            "kas,a->ks", m2, stationary, precision="highest")))
         P_l = model.transition(params["model"], bl_mk).astype(dtype)
         P_r = model.transition(params["model"], br_mk).astype(dtype)
-        u = jnp.einsum("ksa,mkab->mksb", m1, P_l, precision="highest")
-        v = jnp.einsum("ksa,mkab->mksb", m2, P_r, precision="highest")
-        site_lik = jnp.einsum("mksb,b->mks", u * v, stationary, precision="highest")
+        u = jnp.einsum("kas,mkab->mkbs", m1, P_l, precision="highest")
+        v = jnp.einsum("kas,mkab->mkbs", m2, P_r, precision="highest")
+        site_lik = jnp.einsum("mkbs,b->mks", u * v, stationary,
+                              precision="highest")
         ll_m = _site_sum(jnp.log(site_lik))            # (M, K)
 
         c1 = leaf_counts[jnp.arange(K), i]
