@@ -101,10 +101,10 @@ def expm_ctmc(Q, b, *, order=12, squarings=12):
 
 
 def _matmul(a, b):
-    # precision='highest' is required: TPU default matmul precision
-    # rounds inputs to bfloat16, whose epsilon (~8e-3) swallows the
-    # I + (x/j) R increments of the scaled Taylor series (x ~ 1e-5),
-    # collapsing expm(Qb) toward the identity.
-    return jnp.matmul(
-        a, b, preferred_element_type=a.dtype, precision="highest"
-    )
+    # Explicit broadcast-multiply-add instead of dot_general: the A x A
+    # factors are tiny (4-7 wide), and on TPU a dot_general either
+    # rounds inputs to bfloat16 (whose epsilon ~8e-3 swallows the
+    # I + (x/j) R increments of the scaled Taylor series) or, with
+    # precision='highest', pays a 6-pass emulation that is ~50x slower
+    # than these native-f32 VPU ops.
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)

@@ -33,22 +33,29 @@ import functools
 import jax
 import jax.numpy as jnp
 
-TK = 8     # particles per block
+TK = 64    # particles per block (grid coarseness: keep program count
+           # low -- hundreds of tiny programs per rank cost more in
+           # per-program overhead than the arithmetic itself)
 TS = 512   # sites per block (lanes)
 
 
 def _ref_impl(m1, m2, P_l, P_r, pi, weights):
     """jnp reference of the fused op on states-major (K, A, S) inputs.
-    Returns (merged_scaled, rootll, logscale), site-weighted."""
-    u = jnp.einsum("kas,kab->kbs", m1, P_l, precision="highest")
-    v = jnp.einsum("kas,kab->kbs", m2, P_r, precision="highest")
+    Returns (merged_scaled, rootll, logscale), site-weighted.
+
+    The A-contractions are explicit multiply-adds: exact f32 on the VPU,
+    avoiding both the TPU bfloat16 matmul default and the 6-pass
+    'highest' emulation (this function is also the kernel's backward)."""
+    # sum_a m[k,a,s] * P[k,a,b] -> (K, B, S)
+    u = jnp.sum(m1[:, :, None, :] * P_l[:, :, :, None], axis=1)
+    v = jnp.sum(m2[:, :, None, :] * P_r[:, :, :, None], axis=1)
     w = u * v
     scale = jnp.maximum(
         jnp.max(w, axis=-2), jnp.finfo(w.dtype).tiny
     )                                                   # (K, S)
     merged = w / scale[:, None, :]
     site_ll = jnp.log(
-        jnp.einsum("kas,a->ks", w, pi, precision="highest")
+        jnp.sum(w * pi[None, :, None], axis=1)
     )                                                   # unscaled
     rootll = jnp.sum(site_ll * weights[None, :], axis=-1)
     logscale = jnp.sum(jnp.log(scale) * weights[None, :], axis=-1)

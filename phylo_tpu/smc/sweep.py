@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from phylo_tpu.models.branches import branch_rates, sample_branches
+from phylo_tpu.models.branches import branch_rates
 from phylo_tpu.pruning.felsenstein import (
     merge_messages_sm,
     root_log_likelihood_sm,
@@ -124,29 +124,51 @@ def compute_log_zsmc(log_weights):
     )
 
 
+def _take_positions(arr, idx):
+    """take_along_axis(arr, idx, axis=1) for (K, N) tables with small N,
+    via mask-and-sum instead of an XLA gather: per-op gather latency on
+    TPU (~100us even for kilobyte tables) dominates an 11-rank sweep,
+    while this form is a handful of fused VPU ops.
+
+    arr: (K, N) int or float; idx: (K, P) ints in [0, N).
+    """
+    mask = idx[..., None] == jnp.arange(arr.shape[1])       # (K, P, N)
+    if jnp.issubdtype(arr.dtype, jnp.integer):
+        return jnp.sum(mask * arr[:, None, :], axis=-1, dtype=arr.dtype)
+    return jnp.sum(
+        jnp.where(mask, arr[:, None, :], 0).astype(arr.dtype), axis=-1
+    )
+
+
 def _node_lookup(leaves, internal_msgs, internal_logscale, row_of_node,
                  node_ids):
     """Fetch messages + log-scale totals for per-particle node ids.
 
-    node_ids: (K,) ints in [0, 2N-2); ids < N are leaves (shared across
-    particles), ids >= N are internal nodes resolved through the ancestry
-    indirection table.
+    node_ids: (K,) or (K, P) ints in [0, 2N-2); ids < N are leaves
+    (shared across particles), ids >= N are internal nodes resolved
+    through the ancestry indirection table.  Batching the last axis
+    fuses what would otherwise be several latency-bound small gathers
+    per rank into one gather each.
     """
     N = leaves.shape[0]
-    is_leaf = node_ids < N
-    leaf_part = leaves[jnp.clip(node_ids, 0, N - 1)]          # (K, S, A)
-    q = jnp.clip(node_ids - N, 0, internal_msgs.shape[1] - 1)  # (K,)
-    rows = jnp.take_along_axis(row_of_node, q[:, None], axis=1)[:, 0]
-    int_part = internal_msgs[rows, q]                          # (K, S, A)
-    msg = jnp.where(is_leaf[:, None, None], leaf_part, int_part)
+    squeeze = node_ids.ndim == 1
+    ids = node_ids[:, None] if squeeze else node_ids           # (K, P)
+    is_leaf = ids < N
+    leaf_part = leaves[jnp.clip(ids, 0, N - 1)]                # (K,P,A,S)
+    q = jnp.clip(ids - N, 0, internal_msgs.shape[1] - 1)       # (K, P)
+    rows = _take_positions(row_of_node, q)                     # (K, P)
+    int_part = internal_msgs[rows, q]                          # (K,P,A,S)
+    msg = jnp.where(is_leaf[..., None, None], leaf_part, int_part)
     lsc = jnp.where(is_leaf, 0.0, internal_logscale[rows, q])
+    if squeeze:
+        return msg[:, 0], lsc[:, 0]
     return msg, lsc
 
 
 def _compact_positions(arr, perm, merge_pos, new_value):
     """Apply the compaction permutation along positions and write
     ``new_value`` at the merged root's position."""
-    out = jnp.take_along_axis(arr, perm, axis=1)
+    out = _take_positions(arr, perm)
     N = arr.shape[1]
     at_merge = jnp.arange(N)[None, :] == merge_pos
     return jnp.where(at_merge, new_value[:, None], out)
@@ -250,14 +272,38 @@ def sample_phylogenies(key, leaves, model, params, config, *,
                 k_res, state["prev_log_w"], config.resampling
             )
         idx = jnp.where(r > 0, sampled, jnp.arange(K))
-        slot = state["slot"][idx]
-        leaf_counts = state["leaf_counts"][idx]
-        root_ll = state["root_ll"][idx]
-        row_of_node = state["row_of_node"][idx]
         logK = jnp.log(jnp.asarray(K, dtype=dtype))
-        tilde = jnp.where(
-            r > 0, state["prev_log_ll"][idx], -logK
-        )
+        if dtype == jnp.float32:
+            # pack the per-particle tables into ONE int32 matrix so the
+            # ancestor permutation is a single gather (five separate
+            # row-gathers are latency-bound on TPU)
+            def bits(x):
+                return lax.bitcast_convert_type(x, jnp.int32)
+
+            packed = jnp.concatenate(
+                [
+                    state["slot"], state["leaf_counts"],
+                    bits(state["root_ll"]), state["row_of_node"],
+                    bits(state["prev_log_ll"])[:, None],
+                ],
+                axis=1,
+            )[idx]
+            slot = packed[:, :N]
+            leaf_counts = packed[:, N:2 * N]
+            root_ll = lax.bitcast_convert_type(
+                packed[:, 2 * N:3 * N], jnp.float32
+            )
+            row_of_node = packed[:, 3 * N:3 * N + n_ranks]
+            prev_ll_g = lax.bitcast_convert_type(
+                packed[:, -1], jnp.float32
+            )
+        else:
+            slot = state["slot"][idx]
+            leaf_counts = state["leaf_counts"][idx]
+            root_ll = state["root_ll"][idx]
+            row_of_node = state["row_of_node"][idx]
+            prev_ll_g = state["prev_log_ll"][idx]
+        tilde = jnp.where(r > 0, prev_ll_g, -logK)
         if config.resample_branch_history:
             sum_bl = jnp.where(r > 0, state["sum_bl"][idx], state["sum_bl"])
             sum_br = jnp.where(r > 0, state["sum_br"][idx], state["sum_br"])
@@ -276,16 +322,24 @@ def sample_phylogenies(key, leaves, model, params, config, *,
                 r, n_active, rate_l, rate_r, dec,
                 site_weights=site_weights,
             )
+            # twisted branches are selected in-loop; their transitions
+            # cannot be presampled
+            P_lr = model.transition(
+                params["model"], jnp.concatenate([b_l, b_r])
+            ).astype(dtype)
+            P_l, P_r = P_lr[:K], P_lr[K:]
         else:
             if decisions is not None:
                 p1 = dec["pairs"][:, 0]
                 p2 = dec["pairs"][:, 1]
-                b_l = dec["branches_l"]
-                b_r = dec["branches_r"]
             else:
                 p1, p2 = uniform_pair(k_pair, K, N, n_active, dtype)
-                b_l = sample_branches(k_bl, rate_l, (K,))
-                b_r = sample_branches(k_br, rate_r, (K,))
+            # branch lengths + transitions were presampled for ALL ranks
+            # in one batched expm before the scan (state-independent)
+            b_l = dec["branches_l"]
+            b_r = dec["branches_r"]
+            P_l = dec["P_l"]
+            P_r = dec["P_r"]
             # topology proposal penalty (reference quirk: the *raw*
             # probability 1/C(n,2) is subtracted from the log weight,
             # vcsmc.py:298,392)
@@ -295,23 +349,20 @@ def sample_phylogenies(key, leaves, model, params, config, *,
             else:
                 q_pen = -jnp.log(n_pairs) * jnp.ones((K,), dtype=dtype)
 
-        # ---- 3. Child lookups ------------------------------------------
-        n1 = jnp.take_along_axis(slot, p1[:, None], 1)[:, 0]
-        n2 = jnp.take_along_axis(slot, p2[:, None], 1)[:, 0]
-        c1 = jnp.take_along_axis(leaf_counts, p1[:, None], 1)[:, 0]
-        c2 = jnp.take_along_axis(leaf_counts, p2[:, None], 1)[:, 0]
-        m1, lsc1 = _node_lookup(
+        # ---- 3. Child lookups (pair-fused gathers) ----------------------
+        pair_pos = jnp.stack([p1, p2], axis=1)                  # (K, 2)
+        nodes = _take_positions(slot, pair_pos)                 # (K, 2)
+        counts = _take_positions(leaf_counts, pair_pos)         # (K, 2)
+        n1, n2 = nodes[:, 0], nodes[:, 1]
+        c1, c2 = counts[:, 0], counts[:, 1]
+        msgs, lscs = _node_lookup(
             leaves, state["internal_msgs"], state["internal_logscale"],
-            row_of_node, n1,
+            row_of_node, nodes,
         )
-        m2, lsc2 = _node_lookup(
-            leaves, state["internal_msgs"], state["internal_logscale"],
-            row_of_node, n2,
-        )
+        m1, m2 = msgs[:, 0], msgs[:, 1]
+        lsc1, lsc2 = lscs[:, 0], lscs[:, 1]
 
         # ---- 4. Pruning update (the hot kernel) ------------------------
-        P_l = model.transition(params["model"], b_l).astype(dtype)
-        P_r = model.transition(params["model"], b_r).astype(dtype)
         if config.use_pallas and config.rescale:
             from phylo_tpu.pruning.kernels import fused_merge_loglik
 
@@ -408,10 +459,36 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         return new_state, out
 
     ranks = jnp.arange(n_ranks, dtype=jnp.int32)
-    if decisions is not None:
-        xs = (ranks, decisions)
-    else:
-        xs = (ranks, {})
+    xs_dec = dict(decisions) if decisions is not None else {}
+    if config.twist is None:
+        # Branch proposals are state-independent, so ALL ranks' branch
+        # lengths and transition matrices are generated in ONE batched
+        # uniformized-expm call before the scan -- the reference (and a
+        # naive port) pays a sequential expm chain per rank instead
+        # (vcsmc.py:351-356,180-188).
+        if decisions is None:
+            k_bl_all, k_br_all = jax.random.split(
+                jax.random.fold_in(key, 0x5eed), 2
+            )
+            b_l_all = (
+                jax.random.exponential(k_bl_all, (n_ranks, K), dtype=dtype)
+                / rates_l[:, None]
+            )
+            b_r_all = (
+                jax.random.exponential(k_br_all, (n_ranks, K), dtype=dtype)
+                / rates_r[:, None]
+            )
+        else:
+            b_l_all = decisions["branches_l"].astype(dtype)
+            b_r_all = decisions["branches_r"].astype(dtype)
+        P_all = model.transition(
+            params["model"], jnp.concatenate([b_l_all, b_r_all], axis=1)
+        ).astype(dtype)                                  # (R, 2K, A, A)
+        xs_dec.update(
+            branches_l=b_l_all, branches_r=b_r_all,
+            P_l=P_all[:, :K], P_r=P_all[:, K:],
+        )
+    xs = (ranks, xs_dec)
     step_fn = jax.checkpoint(step) if config.remat else step
     final, outs = lax.scan(step_fn, init, xs)
 
