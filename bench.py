@@ -128,6 +128,19 @@ def measure_tpu(genome, K, batch, epochs):
 
 
 def main():
+    # persistent compile cache: the sweep's first XLA compile costs
+    # minutes on the tunneled chip; cached reruns start in seconds
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(REPO, ".jax_cache")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--K", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=256)

@@ -17,6 +17,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -75,6 +76,18 @@ def _boolish(x):
 
 def main(argv=None):
     args = parse_args(argv)
+
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(os.getcwd(), ".jax_cache")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
 
     from phylo_tpu.dataio import load_dataset
     from phylo_tpu.train import TrainConfig, train

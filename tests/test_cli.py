@@ -1,0 +1,57 @@
+import json
+import os
+import pickle
+
+import numpy as np
+
+from phylo_tpu.cli.runner import main, parse_args
+
+
+def test_parse_args_reference_surface():
+    args = parse_args([
+        "--dataset=primate_data", "--n_particles=64", "--batch_size=128",
+        "--learning_rate=0.01", "--num_epoch=5", "--optimizer=Adam",
+        "--M=4", "--nested=true", "--jcmodel=false",
+        "--memory_optimization=off",
+    ])
+    assert args.n_particles == 64
+    assert args.nested is True and args.jcmodel is False
+    assert args.optimizer == "Adam"
+
+
+def test_parse_args_defaults_match_reference():
+    # reference runner.py:12-58 defaults
+    args = parse_args([])
+    assert args.dataset == "primate_data"
+    assert args.n_particles == 10
+    assert args.batch_size == 256
+    assert args.learning_rate == 0.001
+    assert args.num_epoch == 100
+    assert args.optimizer == "GradientDescentOptimizer"
+    assert abs(args.branch_prior - np.log(10)) < 1e-12
+    assert args.M == 10
+
+
+def test_cli_end_to_end_tiny(tmp_path):
+    res = main([
+        "--dataset=load_strings", "--n_particles=6", "--num_epoch=2",
+        "--batch_size=5", "--optimizer=Adam", "--dtype=float64",
+        f"--results_dir={tmp_path}",
+    ])
+    assert np.isfinite(res.elbo)
+    assert os.path.isdir(res.save_dir)
+    with open(os.path.join(res.save_dir, "metrics.json")) as f:
+        metrics = json.load(f)
+    assert len(metrics["elbo"]) == 2
+    with open(os.path.join(res.save_dir, "results.p"), "rb") as f:
+        r = pickle.load(f)
+    assert r["nTaxa"] == 4
+
+
+def test_cli_nested_tiny(tmp_path):
+    res = main([
+        "--dataset=load_strings", "--n_particles=4", "--num_epoch=1",
+        "--batch_size=10", "--nested=true", "--M=2", "--dtype=float64",
+        f"--results_dir={tmp_path}", "--no_artifacts",
+    ])
+    assert np.isfinite(res.elbo)
