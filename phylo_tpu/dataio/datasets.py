@@ -146,6 +146,13 @@ def load_dataset(name, data_root=None, **kwargs):
     """
     root = data_root or DEFAULT_DATA_ROOT
     key = name.strip()
+    # direct alignment files (FASTA / PHYLIP / NEXUS), a capability the
+    # reference lacks (it only reads pre-pickled dicts)
+    if os.path.sep in key or os.path.exists(key):
+        from phylo_tpu.dataio.parsers import load_alignment_file
+
+        raw = load_alignment_file(key)
+        return _taxa_dict_dataset(os.path.basename(key), raw)
     alias = {
         "primate": "primate_data",
         "primates_small": "primate_data_wang",

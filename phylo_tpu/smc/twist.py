@@ -109,17 +109,28 @@ def twisted_extend(key, config, model, params, stationary, leaves,
                 log_site = log_site * site_weights
             return jnp.sum(log_site, axis=-1)
 
-        # messages are states-major (K, A, S)
-        ll_l = _site_sum(jnp.log(jnp.einsum(
-            "kas,a->ks", m1, stationary, precision="highest")))
-        ll_r = _site_sum(jnp.log(jnp.einsum(
-            "kas,a->ks", m2, stationary, precision="highest")))
+        # messages are states-major (K, A, S); contractions over the tiny
+        # A axis are explicit multiply-adds (exact f32 VPU ops -- see
+        # CLAUDE.md on TPU matmul precision/latency)
+        ll_l = _site_sum(jnp.log(
+            jnp.sum(m1 * stationary[None, :, None], axis=1)))
+        ll_r = _site_sum(jnp.log(
+            jnp.sum(m2 * stationary[None, :, None], axis=1)))
         P_l = model.transition(params["model"], bl_mk).astype(dtype)
         P_r = model.transition(params["model"], br_mk).astype(dtype)
-        u = jnp.einsum("kas,mkab->mkbs", m1, P_l, precision="highest")
-        v = jnp.einsum("kas,mkab->mkbs", m2, P_r, precision="highest")
-        site_lik = jnp.einsum("mkbs,b->mks", u * v, stationary,
-                              precision="highest")
+
+        A = m1.shape[1]
+        site_lik = None
+        for b in range(A):
+            u_b = None
+            v_b = None
+            for a in range(A):
+                tu = m1[None, :, a, :] * P_l[:, :, a, b, None]
+                tv = m2[None, :, a, :] * P_r[:, :, a, b, None]
+                u_b = tu if u_b is None else u_b + tu
+                v_b = tv if v_b is None else v_b + tv
+            term = (u_b * v_b) * stationary[b]
+            site_lik = term if site_lik is None else site_lik + term
         ll_m = _site_sum(jnp.log(site_lik))            # (M, K)
 
         c1 = leaf_counts[jnp.arange(K), i]
