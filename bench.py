@@ -127,6 +127,69 @@ def measure_tpu(genome, K, batch, epochs):
     return per_epoch, updates / per_epoch, float(elbo)
 
 
+def measure_details():
+    """Timings for every BASELINE.md config; written to
+    BENCH_DETAILS.json.  Keeps the headline single-line contract of
+    main() untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from phylo_tpu.dataio import load_dataset
+    from phylo_tpu.models.branches import init_branch_params
+    from phylo_tpu.models.substitution import JC69, ReferenceQ
+    from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies
+    from phylo_tpu.smc.twist import TwistConfig
+    from phylo_tpu.utils.profiling import timed
+
+    out = {}
+
+    def fwd_time(ds_name, model_cls, K, sweep_kwargs=None, iters=10,
+                 label=None):
+        ds = load_dataset(ds_name)
+        model = model_cls(A=ds.A)
+        params = {
+            "model": model.init_params(jnp.float32),
+            "branches": init_branch_params(ds.N, dtype=jnp.float32),
+        }
+        leaves = jnp.asarray(ds.genome, dtype=jnp.float32)
+        cfg = SweepConfig(K=K, **(sweep_kwargs or {}))
+
+        fn = jax.jit(
+            lambda key, p: sample_phylogenies(
+                key, leaves, model, p, cfg
+            ).elbo
+        )
+        t, e = timed(fn, jax.random.PRNGKey(0), params, iters=iters)
+        out[label or f"{ds_name}_K{K}"] = {
+            "config": f"{ds_name} N={ds.N} S={ds.S} K={K} "
+                      f"{model_cls.__name__}"
+                      + (f" twist M={cfg.twist.M}" if cfg.twist else ""),
+            "fwd_sweep_ms": round(t * 1000, 3),
+            "elbo": float(e),
+        }
+
+    # 1. JC69 CSMC, primates_small, K=128 (fixed params, fwd only)
+    fwd_time("primate_data_wang", JC69, 128, label="jc69_csmc_small")
+    # 2. VCSMC primate (headline epoch measured by main())
+    fwd_time("primate_data", ReferenceQ, 2048, label="vcsmc_primate")
+    # 3. learned-Q + batched expm on fish
+    fwd_time("fish_data", ReferenceQ, 2048, label="gtr_fish")
+    # 4. VNCSMC on betacoronavirus (coronavirus.p is not shipped in the
+    #    reference repo), reference autorun scale K=32 M=10
+    fwd_time(
+        "betacorona1", ReferenceQ, 32,
+        sweep_kwargs=dict(twist=TwistConfig(M=10, pair_chunk=8)),
+        iters=3, label="vncsmc_betacorona",
+    )
+    # 5. Hohna DS1 at K=2048 (site sharding validated on the virtual
+    #    mesh; single chip here)
+    fwd_time("hohna_data_1", ReferenceQ, 2048, iters=5, label="ds1_2048")
+
+    with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    return out
+
+
 def main():
     # persistent compile cache: the sweep's first XLA compile costs
     # minutes on the tunneled chip; cached reruns start in seconds
@@ -146,7 +209,16 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--details", action="store_true",
+                    help="also time every BASELINE.md config into "
+                    "BENCH_DETAILS.json")
     args = ap.parse_args()
+
+    if args.details:
+        details = measure_details()
+        for k, v in details.items():
+            print(f"# {k}: {v['fwd_sweep_ms']} ms  ({v['config']})",
+                  file=sys.stderr)
 
     from phylo_tpu.dataio import load_dataset
 
