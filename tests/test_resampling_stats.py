@@ -1,0 +1,61 @@
+"""Statistical properties of the resampling strategies and proposals."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phylo_tpu.smc.proposals import uniform_pair
+from phylo_tpu.smc.resampling import resample_indices
+
+
+@pytest.mark.parametrize("strategy",
+                         ["multinomial", "systematic", "stratified"])
+def test_resampling_is_unbiased(strategy):
+    # expected offspring counts proportional to normalized weights
+    log_w = jnp.asarray(np.log([0.1, 0.4, 0.2, 0.3]))
+    K = 4
+    reps = 3000
+    keys = jax.random.split(jax.random.PRNGKey(0), reps)
+    idx = jax.vmap(
+        lambda k: resample_indices(k, log_w, strategy)
+    )(keys)
+    counts = np.bincount(np.asarray(idx).ravel(), minlength=K)
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, [0.1, 0.4, 0.2, 0.3], atol=0.02)
+
+
+def test_systematic_has_lower_variance_than_multinomial():
+    log_w = jnp.asarray(np.log([0.25, 0.25, 0.25, 0.25]))
+    reps = 2000
+    keys = jax.random.split(jax.random.PRNGKey(1), reps)
+
+    def offspring_var(strategy):
+        idx = jax.vmap(
+            lambda k: resample_indices(k, log_w, strategy)
+        )(keys)
+        idx = np.asarray(idx)
+        counts = np.stack(
+            [np.bincount(row, minlength=4) for row in idx]
+        )
+        return counts.var(axis=0).mean()
+
+    # uniform weights: systematic resampling is exact (variance 0)
+    assert offspring_var("systematic") < 1e-12
+    assert offspring_var("multinomial") > 0.1
+
+
+def test_uniform_pair_is_uniform_over_active_prefix():
+    K, N, n_active = 4000, 8, 5
+    p1, p2 = uniform_pair(jax.random.PRNGKey(2), K, N,
+                          jnp.int32(n_active), jnp.float64)
+    p1, p2 = np.asarray(p1), np.asarray(p2)
+    assert (p1 < n_active).all() and (p2 < n_active).all()
+    assert (p1 != p2).all()
+    # unordered pair frequencies ~ uniform over C(5,2)=10 pairs
+    pairs = np.stack([np.minimum(p1, p2), np.maximum(p1, p2)], 1)
+    keys = pairs[:, 0] * 10 + pairs[:, 1]
+    _, counts = np.unique(keys, return_counts=True)
+    assert len(counts) == 10
+    freq = counts / K
+    np.testing.assert_allclose(freq, 0.1, atol=0.02)
