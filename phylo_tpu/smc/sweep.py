@@ -82,6 +82,11 @@ class SweepConfig:
     use_pallas: fuse the merge + root-log-likelihood hot op into the
         Pallas TPU kernel (pruning.kernels); falls back to the jnp path
         on non-TPU backends and when rescale=False.
+    replicate_leaves: store leaf messages inside the node-message buffer
+        (replicated across K) so child lookups are ONE gather instead of
+        leaf-gather + internal-gather + select.  Costs K*N*A*S extra HBM
+        (e.g. ~0.8 GB at primate/K=2048); disable for memory-tight
+        configs.
     remat: rematerialize the rank step under reverse-mode AD
         (jax.checkpoint) -- trades one extra forward sweep for not
         storing per-rank residual tensors, enabling full-alignment
@@ -97,6 +102,7 @@ class SweepConfig:
     twist: Optional[Any] = None
     use_pallas: bool = True
     remat: bool = False
+    replicate_leaves: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -141,24 +147,34 @@ def _take_positions(arr, idx):
 
 
 def _node_lookup(leaves, internal_msgs, internal_logscale, row_of_node,
-                 node_ids):
+                 node_ids, unified=False):
     """Fetch messages + log-scale totals for per-particle node ids.
 
-    node_ids: (K,) or (K, P) ints in [0, 2N-2); ids < N are leaves
-    (shared across particles), ids >= N are internal nodes resolved
-    through the ancestry indirection table.  Batching the last axis
-    fuses what would otherwise be several latency-bound small gathers
-    per rank into one gather each.
+    node_ids: (K,) or (K, P) ints in [0, 2N-2); ids < N are leaves,
+    ids >= N are internal nodes resolved through the ancestry
+    indirection table.  Batching the last axis fuses what would
+    otherwise be several latency-bound small gathers per rank into one
+    gather each.
+
+    unified: `internal_msgs` is the unified buffer (K, N + R, A, S) with
+    leaf messages replicated in columns 0..N-1, so the message fetch is
+    a single gather (no leaf/internal select).
     """
     N = leaves.shape[0]
+    R = row_of_node.shape[1]
     squeeze = node_ids.ndim == 1
     ids = node_ids[:, None] if squeeze else node_ids           # (K, P)
     is_leaf = ids < N
-    leaf_part = leaves[jnp.clip(ids, 0, N - 1)]                # (K,P,A,S)
-    q = jnp.clip(ids - N, 0, internal_msgs.shape[1] - 1)       # (K, P)
+    q = jnp.clip(ids - N, 0, R - 1)                            # (K, P)
     rows = _take_positions(row_of_node, q)                     # (K, P)
-    int_part = internal_msgs[rows, q]                          # (K,P,A,S)
-    msg = jnp.where(is_leaf[..., None, None], leaf_part, int_part)
+    if unified:
+        K = row_of_node.shape[0]
+        own = jnp.arange(K, dtype=rows.dtype)[:, None]
+        msg = internal_msgs[jnp.where(is_leaf, own, rows), ids]
+    else:
+        leaf_part = leaves[jnp.clip(ids, 0, N - 1)]            # (K,P,A,S)
+        int_part = internal_msgs[rows, q]                      # (K,P,A,S)
+        msg = jnp.where(is_leaf[..., None, None], leaf_part, int_part)
     lsc = jnp.where(is_leaf, 0.0, internal_logscale[rows, q])
     if squeeze:
         return msg[:, 0], lsc[:, 0]
@@ -209,6 +225,25 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     # states-major internal layout (N, A, S): site tiles ride TPU vector
     # lanes and the Pallas kernel consumes buffers without transposes
     leaves = jnp.swapaxes(jnp.asarray(leaves), -1, -2)
+    use_pallas = (
+        config.use_pallas and config.rescale
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        # pre-pad the site axis to the kernel tile so the per-rank pad
+        # op disappears; padding columns are all-ones with weight 0
+        from phylo_tpu.pruning.kernels import TS
+
+        Sp = -(-S // TS) * TS
+        if Sp != S:
+            leaves = jnp.pad(
+                leaves, ((0, 0), (0, 0), (0, Sp - S)),
+                constant_values=1.0,
+            )
+            if site_weights is None:
+                site_weights = jnp.ones((S,), dtype=dtype)
+            site_weights = jnp.pad(site_weights, (0, Sp - S))
+            S = Sp
     if shardings is not None:
         leaves = lax.with_sharding_constraint(leaves, shardings.leaves_sm)
 
@@ -231,7 +266,18 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     if config.twist is not None:
         from phylo_tpu.smc.twist import twisted_extend  # lazy import
 
-    internal_msgs0 = jnp.zeros((K, n_ranks, A, S), dtype=dtype)
+    if config.replicate_leaves:
+        # unified buffer: leaves replicated in columns 0..N-1, internal
+        # node q at column N+q -> child fetch is one gather, no select
+        internal_msgs0 = jnp.concatenate(
+            [
+                jnp.broadcast_to(leaves[None], (K, N, A, S)),
+                jnp.zeros((K, n_ranks, A, S), dtype=dtype),
+            ],
+            axis=1,
+        )
+    else:
+        internal_msgs0 = jnp.zeros((K, n_ranks, A, S), dtype=dtype)
     if shardings is not None:
         internal_msgs0 = lax.with_sharding_constraint(
             internal_msgs0, shardings.core
@@ -357,13 +403,13 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         c1, c2 = counts[:, 0], counts[:, 1]
         msgs, lscs = _node_lookup(
             leaves, state["internal_msgs"], state["internal_logscale"],
-            row_of_node, nodes,
+            row_of_node, nodes, unified=config.replicate_leaves,
         )
         m1, m2 = msgs[:, 0], msgs[:, 1]
         lsc1, lsc2 = lscs[:, 0], lscs[:, 1]
 
         # ---- 4. Pruning update (the hot kernel) ------------------------
-        if config.use_pallas and config.rescale:
+        if use_pallas:
             from phylo_tpu.pruning.kernels import fused_merge_loglik
 
             w_vec = (site_weights if site_weights is not None
@@ -384,8 +430,10 @@ def sample_phylogenies(key, leaves, model, params, config, *,
 
         # ---- 5. Write-once buffers --------------------------------------
         zero = jnp.zeros((), dtype=r.dtype)
+        msg_col = r + N if config.replicate_leaves else r
         internal_msgs = lax.dynamic_update_slice(
-            state["internal_msgs"], merged[:, None], (zero, r, zero, zero)
+            state["internal_msgs"], merged[:, None],
+            (zero, msg_col, zero, zero)
         )
         internal_logscale = lax.dynamic_update_slice(
             state["internal_logscale"], node_lsc[:, None], (zero, r)

@@ -101,9 +101,11 @@ def twisted_extend(key, config, model, params, stationary, leaves,
         n1 = slot[:, i]
         n2 = slot[:, j]
         m1, _ = _node_lookup(leaves, internal_msgs, internal_logscale,
-                             row_of_node, n1)
+                             row_of_node, n1,
+                             unified=config.replicate_leaves)
         m2, _ = _node_lookup(leaves, internal_msgs, internal_logscale,
-                             row_of_node, n2)
+                             row_of_node, n2,
+                             unified=config.replicate_leaves)
         def _site_sum(log_site):
             if site_weights is not None:
                 log_site = log_site * site_weights
