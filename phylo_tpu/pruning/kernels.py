@@ -36,7 +36,16 @@ import jax.numpy as jnp
 TK = 64    # particles per block (grid coarseness: keep program count
            # low -- hundreds of tiny programs per rank cost more in
            # per-program overhead than the arithmetic itself)
-TS = 512   # sites per block (lanes)
+TS = 128   # site padding granularity (lane width)
+TS_MAX = 512   # preferred site-tile size
+
+
+def _site_tile(Sp):
+    """Largest multiple of 128 that divides Sp, capped at TS_MAX."""
+    t = TS_MAX
+    while t > TS and Sp % t:
+        t -= TS
+    return t
 
 
 def _ref_impl(m1, m2, P_l, P_r, pi, weights):
@@ -118,11 +127,12 @@ def _pallas_forward(m1, m2, P_l, P_r, pi, weights):
     from jax.experimental.pallas import tpu as pltpu
 
     K, A, Sp = m1.shape
-    grid = (K // TK, Sp // TS)
+    ts = _site_tile(Sp)
+    grid = (K // TK, Sp // ts)
     dtype = m1.dtype
 
     msg_spec = pl.BlockSpec(
-        (TK, A, TS), lambda ik, js: (ik, 0, js),
+        (TK, A, ts), lambda ik, js: (ik, 0, js),
         memory_space=pltpu.VMEM,
     )
     p_spec = pl.BlockSpec(
@@ -132,7 +142,7 @@ def _pallas_forward(m1, m2, P_l, P_r, pi, weights):
         (1, A), lambda ik, js: (0, 0), memory_space=pltpu.VMEM
     )
     w_spec = pl.BlockSpec(
-        (1, TS), lambda ik, js: (0, js), memory_space=pltpu.VMEM
+        (1, ts), lambda ik, js: (0, js), memory_space=pltpu.VMEM
     )
     acc_spec = pl.BlockSpec(
         (TK, 1), lambda ik, js: (ik, 0), memory_space=pltpu.VMEM

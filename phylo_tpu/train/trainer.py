@@ -172,6 +172,14 @@ def train(dataset, config: TrainConfig):
     key = jax.random.PRNGKey(config.seed)
     rng = np.random.default_rng(config.seed)
 
+    # initial full-data ELBO, as the reference reports before training
+    # (reference vcsmc.py:496-500)
+    initial_elbo = None
+    if config.log_every:
+        key, sub = jax.random.split(key)
+        initial_elbo = float(eval_step(params, sub).elbo)
+        print(f"Initial evaluation of ELBO: {initial_elbo:.3f}")
+
     save_dir = None
     if config.save_artifacts:
         from phylo_tpu.train.results import make_save_dir, write_run_params
