@@ -183,3 +183,138 @@ class TorchVCSMC:
         with torch.no_grad():
             elbo = self.sweep()
         return float(elbo)
+
+
+class TorchVNCSMC(TorchVCSMC):
+    """Reference-equivalent VNCSMC (twisted) CPU baseline.
+
+    Mirrors the computational shape of the reference's nested-SMC rank
+    update (reference vncsmc.py:283-553): per rank, a sequential loop
+    over the C(n,2) candidate pairs (the reference uses doubly-nested
+    tf.while_loops), each evaluating an M*K batch of look-ahead merges
+    with batched matrix_exp, then a categorical choice over pairs x M
+    and the twisted weight update (log q subtracted).
+    """
+
+    def __init__(self, genome_NxSxA, K, M=10, **kw):
+        super().__init__(genome_NxSxA, K, **kw)
+        self.M = M
+
+    def sweep(self, sites_idx=None):
+        N, K, A, M = self.N, self.K, self.A, self.M
+        leaves = self.leaves
+        if sites_idx is not None:
+            leaves = leaves[:, sites_idx]
+        core = leaves.unsqueeze(0).expand(K, N, -1, A).clone()
+        counts = torch.ones((K, N), dtype=torch.long)
+        Q = self.Q()
+        pi = self.stationary()
+        rates_l = torch.exp(self.log_rates_l)
+        rates_r = torch.exp(self.log_rates_r)
+
+        log_weights = []
+        log_ll_prev = None
+        tilde = torch.full((K,), -math.log(K), dtype=torch.float64)
+        bl_hist, br_hist = [], []
+        prev_w = None
+        ar = torch.arange(K)
+
+        def root_ll(msg):      # (B, S, A) -> (B,)
+            return torch.log(torch.einsum("bsa,a->bs", msg, pi)).sum(-1)
+
+        def topo(c):
+            c = torch.clamp(c, min=2).double()
+            return -log_double_factorial_odd(2 * c - 3)
+
+        for r in range(N - 1):
+            n = N - r
+            if r > 0:
+                probs = torch.softmax(prev_w.detach(), dim=0)
+                idx = torch.multinomial(probs, K, replacement=True,
+                                        generator=self.g)
+                core = core[idx]
+                counts = counts[idx]
+                tilde = log_ll_prev[idx]
+
+            # --- twisting: sequential pair loop (vncsmc.py:324-416) ---
+            pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+            pots, bls, brs = [], [], []
+            for (i, j) in pairs:
+                l_data = core[:, i]                  # (K, S, A)
+                r_data = core[:, j]
+                b_l = -torch.log1p(-torch.rand((M, K),
+                    generator=self.g, dtype=torch.float64)) / rates_l[r]
+                b_r = -torch.log1p(-torch.rand((M, K),
+                    generator=self.g, dtype=torch.float64)) / rates_r[r]
+                P_l = torch.matrix_exp(Q * b_l[..., None, None])
+                P_r = torch.matrix_exp(Q * b_r[..., None, None])
+                u = torch.einsum("ksa,mkab->mksb", l_data, P_l)
+                v = torch.einsum("ksa,mkab->mksb", r_data, P_r)
+                merged = (u * v).reshape(M * K, -1, A)
+                c1, c2 = counts[:, i], counts[:, j]
+                pot = (
+                    root_ll(merged).reshape(M, K)
+                    + topo(c1 + c2)[None]
+                    - (root_ll(l_data) + topo(c1))[None]
+                    - (root_ll(r_data) + topo(c2))[None]
+                )
+                pots.append(pot)
+                bls.append(b_l)
+                brs.append(b_r)
+
+            flat = torch.stack(pots, 0).permute(2, 0, 1).reshape(
+                K, len(pairs) * M)                    # (K, P*M)
+            flat = flat - torch.logsumexp(flat, dim=1, keepdim=True)
+            choice = torch.multinomial(
+                torch.softmax(flat.detach(), dim=1), 1,
+                generator=self.g)[:, 0]
+            q_log = flat[ar, choice]
+            p_idx = choice // M
+            m_idx = choice % M
+            bl_pool = torch.stack(bls, 0)             # (P, M, K)
+            br_pool = torch.stack(brs, 0)
+            b_l = bl_pool[p_idx, m_idx, ar]
+            b_r = br_pool[p_idx, m_idx, ar]
+            bl_hist.append(b_l)
+            br_hist.append(b_r)
+            pair_t = torch.as_tensor(pairs, dtype=torch.long)
+            p1 = pair_t[p_idx, 0]
+            p2 = pair_t[p_idx, 1]
+
+            l_data = core[ar, p1]
+            r_data = core[ar, p2]
+            P_l = torch.matrix_exp(Q * b_l[:, None, None])
+            P_r = torch.matrix_exp(Q * b_r[:, None, None])
+            merged = (l_data @ P_l) * (r_data @ P_r)
+            new_count = counts[ar, p1] + counts[ar, p2]
+
+            keep = torch.ones((K, n), dtype=torch.bool)
+            keep[ar, p1] = False
+            keep[ar, p2] = False
+            Sb = core.shape[2]
+            core = torch.cat(
+                [core[:, :n][keep].reshape(K, n - 2, Sb, A),
+                 merged.unsqueeze(1)], dim=1)
+            counts = torch.cat(
+                [counts[:, :n][keep].reshape(K, n - 2),
+                 new_count.unsqueeze(1)], dim=1)
+
+            lik = torch.einsum("kxsa,a->kxs", core, pi)
+            data_ll = torch.log(lik).sum(dim=(1, 2))
+            topo_lp = topo(counts).sum(dim=1)
+            lp_l = ((r + 1) * torch.log(rates_l[r])
+                    - rates_l[r] * torch.stack(bl_hist).sum(0))
+            lp_r = ((r + 1) * torch.log(rates_r[r])
+                    - rates_r[r] * torch.stack(br_hist).sum(0))
+            log_ll = data_ll + topo_lp + lp_l + lp_r
+
+            v_minus = (counts - (counts == 1).long()).sum(dim=1).double()
+            q_branch = (torch.log(rates_l[r]) - rates_l[r] * b_l
+                        + torch.log(rates_r[r]) - rates_r[r] * b_r)
+            w = log_ll - tilde - q_branch + torch.log(v_minus) - q_log
+            log_weights.append(w)
+            log_ll_prev = log_ll
+            prev_w = w
+
+        lw = torch.stack(log_weights)
+        return torch.logsumexp(lw - math.log(self.K), dim=1).sum()

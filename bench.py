@@ -55,7 +55,7 @@ def measure_baseline(genome, K, batch):
     return dt
 
 
-def measure_tpu(genome, K, batch, epochs):
+def measure_tpu(genome, K, batch, epochs, sweep_kwargs=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -72,7 +72,7 @@ def measure_tpu(genome, K, batch, epochs):
         "branches": init_branch_params(N, dtype=dtype),
     }
     leaves = jax.device_put(jnp.asarray(genome, dtype=dtype))
-    config = SweepConfig(K=K)
+    config = SweepConfig(K=K, **(sweep_kwargs or {}))
     tx = optax.sgd(0.001)
     opt_state = tx.init(params)
 
@@ -185,9 +185,50 @@ def measure_details():
     #    mesh; single chip here)
     fwd_time("hohna_data_1", ReferenceQ, 2048, iters=5, label="ds1_2048")
 
+    # 6. VNCSMC epoch on primate at the reference's ACTIVE sweep config
+    #    (autorun.sh:3-12: nested=true, K=32, M=10, batch 256), compared
+    #    to the reference-equivalent torch CPU nested recursion
+    ds = load_dataset("primate")
+    per_epoch, _, elbo = measure_tpu(
+        ds.genome, 32, 256, 3,
+        sweep_kwargs=dict(twist=TwistConfig(M=10, pair_chunk=8)),
+    )
+    baseline = _twist_baseline(ds.genome, 32, 10, 256)
+    out["vncsmc_primate_epoch"] = {
+        "config": "primate_data VNCSMC K=32 M=10 batch=256 "
+                  "(reference autorun.sh active config)",
+        "epoch_seconds": round(per_epoch, 4),
+        "elbo": elbo,
+        "cpu_baseline_epoch_seconds": round(baseline, 2),
+        "vs_baseline": round(baseline / per_epoch, 2),
+    }
+
     with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
         json.dump(out, f, indent=2)
     return out
+
+
+def _twist_baseline(genome, K, M, batch):
+    key = f"primate_vncsmc_K{K}_M{M}_B{batch}"
+    cache = {}
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+        if key in cache:
+            return cache[key]["epoch_seconds"]
+    from baselines.torch_reference import TorchVNCSMC
+
+    m = TorchVNCSMC(genome, K=K, M=M)
+    t0 = time.time()
+    elbo = m.epoch(batch_size=batch)
+    dt = time.time() - t0
+    cache[key] = {
+        "epoch_seconds": dt, "elbo": elbo,
+        "impl": "baselines/torch_reference.py TorchVNCSMC float64 CPU",
+    }
+    with open(CACHE, "w") as f:
+        json.dump(cache, f, indent=2)
+    return dt
 
 
 def main():
@@ -217,7 +258,7 @@ def main():
     if args.details:
         details = measure_details()
         for k, v in details.items():
-            print(f"# {k}: {v['fwd_sweep_ms']} ms  ({v['config']})",
+            print(f"# {k}: {v}",
                   file=sys.stderr)
 
     from phylo_tpu.dataio import load_dataset

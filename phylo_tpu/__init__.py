@@ -19,5 +19,14 @@ are decoded to trees host-side.
 __version__ = "0.1.0"
 
 from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies  # noqa: F401
-from phylo_tpu.models.substitution import JC69, ReferenceQ, GTR  # noqa: F401
+from phylo_tpu.smc.twist import TwistConfig  # noqa: F401
+from phylo_tpu.models.substitution import (  # noqa: F401
+    GTR,
+    JC69,
+    FixedQ,
+    ReferenceQ,
+    get_model,
+)
+from phylo_tpu.models.branches import init_branch_params  # noqa: F401
 from phylo_tpu.dataio.datasets import load_dataset  # noqa: F401
+from phylo_tpu.train.trainer import TrainConfig, train  # noqa: F401
