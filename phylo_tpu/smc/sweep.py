@@ -87,6 +87,11 @@ class SweepConfig:
         leaf-gather + internal-gather + select.  Costs K*N*A*S extra HBM
         (e.g. ~0.8 GB at primate/K=2048); disable for memory-tight
         configs.
+    ess_threshold: adaptive resampling -- resample at a rank only when
+        the normalized effective sample size ESS/K drops below this
+        fraction (standard SMC practice; the reference resamples
+        unconditionally every rank, vcsmc.py:340-344).  None (default)
+        = reference behavior.
     remat: rematerialize the rank step under reverse-mode AD
         (jax.checkpoint) -- trades one extra forward sweep for not
         storing per-rank residual tensors, enabling full-alignment
@@ -103,6 +108,7 @@ class SweepConfig:
     use_pallas: bool = True
     remat: bool = False
     replicate_leaves: bool = True
+    ess_threshold: Optional[float] = None
 
 
 @jax.tree_util.register_dataclass
@@ -317,7 +323,16 @@ def sample_phylogenies(key, leaves, model, params, config, *,
             sampled = resample_indices(
                 k_res, state["prev_log_w"], config.resampling
             )
-        idx = jnp.where(r > 0, sampled, jnp.arange(K))
+        do_resample = r > 0
+        if config.ess_threshold is not None:
+            # ESS = (sum w)^2 / sum w^2 on normalized weights
+            lw = state["prev_log_w"]
+            lw = lw - jax.scipy.special.logsumexp(lw)
+            ess = jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw))
+            do_resample = do_resample & (
+                ess < config.ess_threshold * K
+            )
+        idx = jnp.where(do_resample, sampled, jnp.arange(K))
         logK = jnp.log(jnp.asarray(K, dtype=dtype))
         if dtype == jnp.float32:
             # pack the per-particle tables into ONE int32 matrix so the
