@@ -93,9 +93,12 @@ class SweepConfig:
         unconditionally every rank, vcsmc.py:340-344).  None (default)
         = reference behavior.
     remat: rematerialize the rank step under reverse-mode AD
-        (jax.checkpoint) -- trades one extra forward sweep for not
-        storing per-rank residual tensors, enabling full-alignment
-        gradients at K=2048 x Hohna scale on a 16 GB chip.
+        (jax.checkpoint).  NOTE: usually HARMFUL here -- checkpointing a
+        scan step saves its full carry (including the O(K N A S) message
+        buffer) every rank, whereas the default AD path's residuals are
+        only the per-rank gathered tensors (the buffer reaches backward
+        through gather/update-slice VJPs that need indices only).  Keep
+        False unless per-rank residuals, not the buffer, dominate.
     """
 
     K: int
