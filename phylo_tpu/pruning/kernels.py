@@ -213,3 +213,146 @@ def _bwd(residuals, cotangents):
 
 
 fused_merge_loglik.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------
+# Twist variant: log-likelihoods of M look-ahead merges per particle,
+# WITHOUT writing the merged messages (VNCSMC potentials only need the
+# scalar; the reference materializes the full M*K x S x A tensor,
+# vncsmc.py:355-356).  The M axis is the innermost grid dimension so a
+# message block is fetched once and reused for all M subsamples.
+# ---------------------------------------------------------------------
+
+
+def _kernel_ll(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
+               rootll_ref, *, A):
+    from jax.experimental import pallas as pl
+
+    js = pl.program_id(1)
+    m = pl.program_id(2)
+
+    weights = w_ref[:]        # (1, TS)
+
+    site_lik = None
+    for b in range(A):
+        u_b = None
+        v_b = None
+        for a in range(A):
+            pl_ab = pl_ref[0, :, a * A + b][:, None]   # (TK, 1)
+            pr_ab = pr_ref[0, :, a * A + b][:, None]
+            tu = m1_ref[:, a, :] * pl_ab
+            tv = m2_ref[:, a, :] * pr_ab
+            u_b = tu if u_b is None else u_b + tu
+            v_b = tv if v_b is None else v_b + tv
+        term = (u_b * v_b) * pi_ref[0, b]
+        site_lik = term if site_lik is None else site_lik + term
+
+    part = jnp.sum(jnp.log(site_lik) * weights, axis=-1)   # (TK,)
+
+    @pl.when((js == 0) & (m == 0))
+    def _():
+        rootll_ref[:] = jnp.zeros_like(rootll_ref)
+
+    rootll_ref[m, :] += part
+
+
+def fused_pair_loglik(m1, m2, P_l, P_r, pi, weights):
+    """Data log-likelihoods of M candidate merges per particle.
+
+    m1, m2: (K, A, S) scaled child messages (shared across M);
+    P_l, P_r: (M, K, A, A); pi: (A,); weights: (S,).
+    Returns (M, K) float: sum_s w_s log(pi . (m1 P_l^m)(m2 P_r^m)).
+
+    Gradients via the jnp reference (custom_vjp); non-TPU backends use
+    the reference directly.
+
+    STATUS: exactly correct on TPU, but measured SLOWER than the XLA
+    multiply-add path when vmapped over the twist pair chunk (the
+    batching rule adds an outer grid dimension, exploding the program
+    count at small K/M tiles); the twist module therefore uses the jnp
+    path.  See ROADMAP.md: the winning shape folds pairs x M x K into
+    the particle-tile axis of a single pallas_call.
+    """
+    return _pair_ll(m1, m2, P_l, P_r, pi, weights)
+
+
+def _pair_ll_ref(m1, m2, P_l, P_r, pi, weights):
+    M, K, A, _ = P_l.shape
+    site_lik = None
+    for b in range(A):
+        u_b = None
+        v_b = None
+        for a in range(A):
+            tu = m1[None, :, a, :] * P_l[:, :, a, b, None]
+            tv = m2[None, :, a, :] * P_r[:, :, a, b, None]
+            u_b = tu if u_b is None else u_b + tu
+            v_b = tv if v_b is None else v_b + tv
+        term = (u_b * v_b) * pi[b]
+        site_lik = term if site_lik is None else site_lik + term
+    return jnp.sum(jnp.log(site_lik) * weights[None, None, :], axis=-1)
+
+
+@jax.custom_vjp
+def _pair_ll(m1, m2, P_l, P_r, pi, weights):
+    return _pair_ll_forward(m1, m2, P_l, P_r, pi, weights)
+
+
+def _pair_ll_forward(m1, m2, P_l, P_r, pi, weights):
+    if jax.default_backend() != "tpu":
+        return _pair_ll_ref(m1, m2, P_l, P_r, pi, weights)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K, A, _ = P_l.shape
+    S = m1.shape[-1]
+    tk = min(TK, _round_up(K, 8))
+    Kp = _round_up(K, tk)
+    Sp = _round_up(S, TS)
+    ts = _site_tile(Sp)
+
+    pad_msg = ((0, Kp - K), (0, 0), (0, Sp - S))
+    m1k = jnp.pad(m1, pad_msg, constant_values=1.0)
+    m2k = jnp.pad(m2, pad_msg, constant_values=1.0)
+    pk_l = jnp.pad(P_l.reshape(M, K, A * A),
+                   ((0, 0), (0, Kp - K), (0, 0)), constant_values=1.0)
+    pk_r = jnp.pad(P_r.reshape(M, K, A * A),
+                   ((0, 0), (0, Kp - K), (0, 0)), constant_values=1.0)
+    wk = jnp.pad(weights[None], ((0, 0), (0, Sp - S)))
+
+    # grid order: M innermost so the message blocks stay resident
+    grid = (Kp // tk, Sp // ts, M)
+    out = pl.pallas_call(
+        functools.partial(_kernel_ll, A=A),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tk, A, ts), lambda ik, js, m: (ik, 0, js),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, A, ts), lambda ik, js, m: (ik, 0, js),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, A * A), lambda ik, js, m: (m, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, A * A), lambda ik, js, m: (m, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda ik, js, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), lambda ik, js, m: (0, js),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, tk), lambda ik, js, m: (0, ik),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, Kp), m1.dtype),
+    )(m1k, m2k, pk_l, pk_r, pi[None], wk)
+    return out[:, :K]
+
+
+def _pair_ll_fwd(m1, m2, P_l, P_r, pi, weights):
+    return (_pair_ll_forward(m1, m2, P_l, P_r, pi, weights),
+            (m1, m2, P_l, P_r, pi, weights))
+
+
+def _pair_ll_bwd(res, g):
+    _, vjp = jax.vjp(_pair_ll_ref, *res)
+    return vjp(g)
+
+
+_pair_ll.defvjp(_pair_ll_fwd, _pair_ll_bwd)

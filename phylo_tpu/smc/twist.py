@@ -121,6 +121,12 @@ def twisted_extend(key, config, model, params, stationary, leaves,
         P_l = model.transition(params["model"], bl_mk).astype(dtype)
         P_r = model.transition(params["model"], br_mk).astype(dtype)
 
+        # all M look-ahead merge log-likelihoods; explicit multiply-adds
+        # keep everything in one XLA fusion without materializing the
+        # reference's M*K x S x A merged tensor (vncsmc.py:355-356).
+        # (A Pallas variant exists -- pruning.kernels.fused_pair_loglik
+        # -- but measured SLOWER here: vmapping pallas_call over the
+        # pair chunk explodes the program count at these tiny tiles.)
         A = m1.shape[1]
         site_lik = None
         for b in range(A):

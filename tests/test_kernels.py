@@ -81,3 +81,17 @@ def test_weighted_sites_zero_out_contributions(rng):
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(s_half), np.asarray(s_sub),
                                rtol=1e-12)
+
+
+def test_fused_pair_loglik_ref_path(rng):
+    from phylo_tpu.pruning.kernels import _pair_ll_ref, fused_pair_loglik
+
+    m1, m2, Pl, Pr, pi, w = _inputs(rng, K=5, S=40)
+    M = 3
+    Plm = jnp.stack([Pl, Pr, Pl])
+    Prm = jnp.stack([Pr, Pl, Pr])
+    got = fused_pair_loglik(m1, m2, Plm, Prm, pi, w)
+    want = _pair_ll_ref(m1, m2, Plm, Prm, pi, w)
+    assert got.shape == (M, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12)
