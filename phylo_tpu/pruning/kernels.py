@@ -305,8 +305,13 @@ def _pair_ll_forward(m1, m2, P_l, P_r, pi, weights):
 
     M, K, A, _ = P_l.shape
     S = m1.shape[-1]
-    tk = min(TK, _round_up(K, 8))
-    Kp = _round_up(K, tk)
+    # the (M, Kp) accumulator puts particles on LANES, so the particle
+    # tile must be 128-aligned (or cover all of Kp exactly)
+    if K >= 128:
+        tk = 128
+        Kp = _round_up(K, tk)
+    else:
+        tk = Kp = _round_up(K, 8)
     Sp = _round_up(S, TS)
     ts = _site_tile(Sp)
 

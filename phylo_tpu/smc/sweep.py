@@ -384,7 +384,7 @@ def sample_phylogenies(key, leaves, model, params, config, *,
                 slot, leaf_counts, row_of_node,
                 state["internal_msgs"], state["internal_logscale"],
                 r, n_active, rate_l, rate_r, dec,
-                site_weights=site_weights,
+                site_weights=site_weights, root_ll=root_ll,
             )
             # twisted branches are selected in-loop; their transitions
             # cannot be presampled

@@ -62,7 +62,7 @@ def upper_tri_pairs(N):
 def twisted_extend(key, config, model, params, stationary, leaves,
                    slot, leaf_counts, row_of_node, internal_msgs,
                    internal_logscale, r, n_active, rate_l, rate_r, dec,
-                   site_weights=None):
+                   site_weights=None, root_ll=None):
     """Twisted proposal for one rank.
 
     Returns (p1, p2, b_l, b_r, q_pen) where q_pen is the log proposal
@@ -95,65 +95,91 @@ def twisted_extend(key, config, model, params, stationary, leaves,
             / rate_r
         )
 
-    def pair_potential(args):
-        pair, bl_mk, br_mk = args                      # (2,), (M,K), (M,K)
-        i, j = pair[0], pair[1]
-        n1 = slot[:, i]
-        n2 = slot[:, j]
-        m1, _ = _node_lookup(leaves, internal_msgs, internal_logscale,
-                             row_of_node, n1,
-                             unified=config.replicate_leaves)
-        m2, _ = _node_lookup(leaves, internal_msgs, internal_logscale,
-                             row_of_node, n2,
-                             unified=config.replicate_leaves)
-        def _site_sum(log_site):
-            if site_weights is not None:
-                log_site = log_site * site_weights
-            return jnp.sum(log_site, axis=-1)
+    # Chunk the pair axis for memory, processing each chunk as ONE flat
+    # (chunk*K)-particle batch through the fused look-ahead kernel (no
+    # vmap -- vmapping pallas_call explodes the program count).  The
+    # left/right posteriors come FREE from the carried per-root tables:
+    # ll_scaled(pos) = root_ll(pos) - node_logscale(node at pos), so no
+    # per-pair site reductions are needed for them at all (the reference
+    # recomputes both on tiled M*K batches, vncsmc.py:363-365).
+    C = min(twist.pair_chunk, P)
+    P_pad = -(-P // C) * C
+    pad_p = P_pad - P
+    pairs_pad = jnp.concatenate(
+        [pairs, jnp.zeros((pad_p, 2), jnp.int32)]
+    ).reshape(P_pad // C, C, 2)
+    pool_l_pad = jnp.concatenate(
+        [pool_l, jnp.ones((pad_p, M, K), dtype)]
+    ).reshape(P_pad // C, C, M, K)
+    pool_r_pad = jnp.concatenate(
+        [pool_r, jnp.ones((pad_p, M, K), dtype)]
+    ).reshape(P_pad // C, C, M, K)
 
-        # messages are states-major (K, A, S); contractions over the tiny
-        # A axis are explicit multiply-adds (exact f32 VPU ops -- see
-        # CLAUDE.md on TPU matmul precision/latency)
-        ll_l = _site_sum(jnp.log(
-            jnp.sum(m1 * stationary[None, :, None], axis=1)))
-        ll_r = _site_sum(jnp.log(
-            jnp.sum(m2 * stationary[None, :, None], axis=1)))
-        P_l = model.transition(params["model"], bl_mk).astype(dtype)
-        P_r = model.transition(params["model"], br_mk).astype(dtype)
+    root_ll_tbl = root_ll
 
-        # all M look-ahead merge log-likelihoods; explicit multiply-adds
-        # keep everything in one XLA fusion without materializing the
-        # reference's M*K x S x A merged tensor (vncsmc.py:355-356).
-        # (A Pallas variant exists -- pruning.kernels.fused_pair_loglik
-        # -- but measured SLOWER here: vmapping pallas_call over the
-        # pair chunk explodes the program count at these tiny tiles.)
-        A = m1.shape[1]
+    def chunk_potentials(xs):
+        pc, bl, br = xs          # (C, 2), (C, M, K), (C, M, K)
+        pos = pc.T               # (2, C)
+        nodes = jnp.take(slot, pos.reshape(-1), axis=1)  # (K, 2C)
+        msgs, lscs = _node_lookup(
+            leaves, internal_msgs, internal_logscale, row_of_node,
+            nodes, unified=config.replicate_leaves,
+        )                        # (K, 2C, A, S), (K, 2C)
+        msgs = msgs.reshape(K, 2, C, A, S)
+        lscs = lscs.reshape(K, 2, C)
+        m_l = jnp.transpose(msgs[:, 0], (1, 0, 2, 3)).reshape(
+            C * K, A, S)
+        m_r = jnp.transpose(msgs[:, 1], (1, 0, 2, 3)).reshape(
+            C * K, A, S)
+
+        P_lr = model.transition(
+            params["model"], jnp.concatenate([bl, br])
+        ).astype(dtype)          # (2C, M, K, A, A)
+        P_l = jnp.transpose(P_lr[:C], (1, 0, 2, 3, 4)).reshape(
+            M, C * K, A, A)
+        P_r = jnp.transpose(P_lr[C:], (1, 0, 2, 3, 4)).reshape(
+            M, C * K, A, A)
+        # merge log-liks over the flat (C K) batch; explicit multiply-
+        # adds stay in one XLA fusion (a Pallas variant measured slower
+        # at these tile sizes -- see pruning.kernels.fused_pair_loglik)
         site_lik = None
         for b in range(A):
             u_b = None
             v_b = None
             for a in range(A):
-                tu = m1[None, :, a, :] * P_l[:, :, a, b, None]
-                tv = m2[None, :, a, :] * P_r[:, :, a, b, None]
+                tu = m_l[None, :, a, :] * P_l[:, :, a, b, None]
+                tv = m_r[None, :, a, :] * P_r[:, :, a, b, None]
                 u_b = tu if u_b is None else u_b + tu
                 v_b = tv if v_b is None else v_b + tv
             term = (u_b * v_b) * stationary[b]
             site_lik = term if site_lik is None else site_lik + term
-        ll_m = _site_sum(jnp.log(site_lik))            # (M, K)
+        log_site = jnp.log(site_lik)                    # (M, C*K, S)
+        if site_weights is not None:
+            log_site = log_site * site_weights
+        ll_m = jnp.sum(log_site, axis=-1).reshape(M, C, K)
 
-        c1 = leaf_counts[jnp.arange(K), i]
-        c2 = leaf_counts[jnp.arange(K), j]
+        # scaled-message posteriors of the children, from carried state
+        rll = jnp.take(root_ll_tbl, pos.reshape(-1), axis=1)  # (K, 2C)
+        rll = rll.reshape(K, 2, C) - lscs
+        cts = jnp.take(leaf_counts, pos.reshape(-1), axis=1)
+        cts = cts.reshape(K, 2, C)
+        c1, c2 = cts[:, 0], cts[:, 1]                    # (K, C)
         d_prior = (
             topology_log_prior(c1 + c2)
             - topology_log_prior(c1)
             - topology_log_prior(c2)
-        ).astype(dtype)
-        return ll_m - ll_l[None] - ll_r[None] + d_prior[None]  # (M, K)
+        ).astype(dtype)                                  # (K, C)
+        pot = (
+            ll_m
+            - rll[:, 0].T[None]
+            - rll[:, 1].T[None]
+            + d_prior.T[None]
+        )                                                # (M, C, K)
+        return jnp.transpose(pot, (1, 0, 2))             # (C, M, K)
 
     pots = lax.map(
-        pair_potential, (pairs, pool_l, pool_r),
-        batch_size=min(twist.pair_chunk, P),
-    )                                                   # (P, M, K)
+        chunk_potentials, (pairs_pad, pool_l_pad, pool_r_pad)
+    ).reshape(P_pad, M, K)[:P]                           # (P, M, K)
 
     neg_inf = jnp.asarray(-jnp.inf, dtype=dtype)
     pots = jnp.where(valid[:, None, None], pots, neg_inf)
