@@ -136,7 +136,7 @@ def measure_details():
 
     from phylo_tpu.dataio import load_dataset
     from phylo_tpu.models.branches import init_branch_params
-    from phylo_tpu.models.substitution import JC69, ReferenceQ
+    from phylo_tpu.models.substitution import GTR, JC69, ReferenceQ
     from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies
     from phylo_tpu.smc.twist import TwistConfig
     from phylo_tpu.utils.profiling import timed
@@ -172,8 +172,12 @@ def measure_details():
     fwd_time("primate_data_wang", JC69, 128, label="jc69_csmc_small")
     # 2. VCSMC primate (headline epoch measured by main())
     fwd_time("primate_data", ReferenceQ, 2048, label="vcsmc_primate")
-    # 3. learned-Q + batched expm on fish
-    fwd_time("fish_data", ReferenceQ, 2048, label="gtr_fish")
+    # 3a. the reference's learned-Q mode + batched expm on fish
+    fwd_time("fish_data", ReferenceQ, 2048, label="learned_q_fish")
+    # 3b. textbook GTR (exchangeabilities x stationary) on fish -- the
+    #     BASELINE.json config #3 model family, trained end-to-end via
+    #     `--model=gtr` (tests/test_train.py::test_train_gtr_model)
+    fwd_time("fish_data", GTR, 2048, label="gtr_fish")
     # 4. VNCSMC on betacoronavirus (coronavirus.p is not shipped in the
     #    reference repo), reference autorun scale K=32 M=10
     fwd_time(

@@ -46,6 +46,11 @@ def parse_args(argv=None):
                    help="use VNCSMC twisted proposals")
     p.add_argument("--jcmodel", type=_boolish, default=False,
                    help="fixed JC69 substitution model")
+    p.add_argument("--model", default=None,
+                   choices=["jc69", "reference", "gtr"],
+                   help="substitution model; overrides --jcmodel "
+                   "(default: reference learned-Q, or jc69 when "
+                   "--jcmodel=true)")
     p.add_argument("--memory_optimization", default="on",
                    help="accepted for reference compatibility; XLA manages "
                    "memory (the reference toggles TF grappler rewriting)")
@@ -56,6 +61,14 @@ def parse_args(argv=None):
     p.add_argument("--resampling", default="multinomial",
                    choices=["multinomial", "systematic", "stratified",
                             "none"])
+    p.add_argument("--ess_threshold", type=float, default=None,
+                   help="adaptive resampling: resample only when ESS/K "
+                   "drops below this fraction (default: every rank, as "
+                   "the reference)")
+    p.add_argument("--carried_weights", type=_boolish, default=False,
+                   help="carried-accumulated-weights SMC estimator "
+                   "(valid log Z under skipped resampling); default is "
+                   "the reference per-rank convention")
     p.add_argument("--results_dir", default="./results")
     p.add_argument("--no_artifacts", action="store_true")
     p.add_argument("--checkpoint_every", type=int, default=0)
@@ -110,7 +123,10 @@ def main(argv=None):
         M=args.M,
         nested=args.nested,
         jcmodel=args.jcmodel,
+        substitution_model=args.model,
         resampling=args.resampling,
+        ess_threshold=args.ess_threshold,
+        carried_weights=args.carried_weights,
         dtype=args.dtype,
         seed=args.seed,
         q_raw_subtraction=args.reference_compat,

@@ -39,6 +39,12 @@ TK = 64    # particles per block (grid coarseness: keep program count
 TS = 128   # site padding granularity (lane width)
 TS_MAX = 512   # preferred site-tile size
 
+# Run the pallas_call sites in interpret mode (pure-jnp emulation of the
+# kernel bodies) and take the kernel path even off-TPU.  CI sets this to
+# exercise _kernel/_kernel_ll on CPU against _ref_impl
+# (tests/test_kernels_interpret.py); never enable in production.
+INTERPRET = False
+
 
 def _site_tile(Sp):
     """Largest multiple of 128 that divides Sp, capped at TS_MAX."""
@@ -151,6 +157,7 @@ def _pallas_forward(m1, m2, P_l, P_r, pi, weights):
     merged, rootll, logscale = pl.pallas_call(
         functools.partial(_kernel, A=A),
         grid=grid,
+        interpret=INTERPRET,
         in_specs=[msg_spec, msg_spec, p_spec, p_spec, pi_spec, w_spec],
         out_specs=[msg_spec, acc_spec, acc_spec],
         out_shape=[
@@ -181,7 +188,7 @@ def fused_merge_loglik(m1, m2, P_l, P_r, pi, weights):
 
 
 def _forward(m1, m2, P_l, P_r, pi, weights):
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not INTERPRET:
         return _ref_impl(m1, m2, P_l, P_r, pi, weights)
     K, A, S = m1.shape
     Kp = _round_up(K, TK)
@@ -298,7 +305,7 @@ def _pair_ll(m1, m2, P_l, P_r, pi, weights):
 
 
 def _pair_ll_forward(m1, m2, P_l, P_r, pi, weights):
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not INTERPRET:
         return _pair_ll_ref(m1, m2, P_l, P_r, pi, weights)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -329,6 +336,7 @@ def _pair_ll_forward(m1, m2, P_l, P_r, pi, weights):
     out = pl.pallas_call(
         functools.partial(_kernel_ll, A=A),
         grid=grid,
+        interpret=INTERPRET,
         in_specs=[
             pl.BlockSpec((tk, A, ts), lambda ik, js, m: (ik, 0, js),
                          memory_space=pltpu.VMEM),

@@ -63,10 +63,18 @@ class CSMC:
     def _root_loglik(self, msg):
         return float(np.log(msg @ self.prior).sum())
 
-    def sample_phylogenies(self, K, resampling=False):
+    def sample_phylogenies(self, K, resampling=False, showing=False,
+                           save_path=None):
         """Run the sampler; returns a result dict with log_weights
         (K, N-1), tree_probabilities, trees (topology keys), norm, and
-        the decoded genealogy."""
+        the decoded genealogy.
+
+        showing: draw the max-posterior-probability tree labeled with
+        its probability (reference csmc.py:450-452 builds the selected
+        particle's graph and G.draw()s it when showing).  The figure is
+        saved to ``save_path`` (default ``max_prob_tree.png`` in the
+        cwd); the networkx DiGraph is returned under 'graph'.
+        """
         N, K = self.N, int(K)
         R = N - 1
         # per-particle forests: lists of (node_id, message, loglik)
@@ -135,7 +143,7 @@ class CSMC:
         )
         # norm = prod_{i=1..N-2} mean_k w_ik (reference csmc.py:351-355)
         norm = float(np.prod(weights[:, 1:].mean(axis=0)))
-        return dict(
+        result = dict(
             log_weights=log_weights,
             tree_probabilities=probs,
             norm=norm,
@@ -143,3 +151,13 @@ class CSMC:
             ancestors=ancestors,
             merged_nodes=merged_nodes,
         )
+        if showing:
+            from phylo_tpu.viz.plots import draw_tree
+
+            best_prob, best_k = probs[0]
+            path = save_path or "max_prob_tree.png"
+            result["graph"] = draw_tree(
+                self.taxa, genealogy[best_k], prob=best_prob, path=path
+            )
+            result["max_prob_tree_png"] = path
+        return result

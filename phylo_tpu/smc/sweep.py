@@ -92,6 +92,19 @@ class SweepConfig:
         fraction (standard SMC practice; the reference resamples
         unconditionally every rank, vcsmc.py:340-344).  None (default)
         = reference behavior.
+    carried_weights: use the standard carried-accumulated-weights SMC
+        estimator instead of the reference's per-rank convention.
+        Accumulated log-weights are carried across ranks that skip
+        resampling; the ESS gate and the ancestor draw act on the
+        ACCUMULATED weights, and log Z_SMC is a sum over resampling
+        segments of logsumexp(accumulated log w) - log K (reset after
+        each resample).  With unconditional multinomial resampling this
+        reduces exactly to the reference estimator; with
+        resampling='none' it yields the valid K-particle importance-
+        sampling estimator logsumexp(sum_r log w_r) - log K.  The
+        reference convention (default False) keeps every rank's
+        incremental weight with equal-weight averaging, which is only a
+        valid log Z estimator when resampling happens at every rank.
     remat: rematerialize the rank step under reverse-mode AD
         (jax.checkpoint).  NOTE: usually HARMFUL here -- checkpointing a
         scan step saves its full carry (including the O(K N A S) message
@@ -112,6 +125,7 @@ class SweepConfig:
     remat: bool = False
     replicate_leaves: bool = True
     ess_threshold: Optional[float] = None
+    carried_weights: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -304,6 +318,8 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         sum_br=jnp.zeros((K,), dtype=dtype),
         prev_log_w=jnp.zeros((K,), dtype=dtype),
         prev_log_ll=jnp.zeros((K,), dtype=dtype),
+        acc_log_w=jnp.zeros((K,), dtype=dtype),
+        log_z=jnp.zeros((), dtype=dtype),
         branch_hist_l=jnp.zeros((n_ranks, K), dtype=dtype),
         branch_hist_r=jnp.zeros((n_ranks, K), dtype=dtype),
     )
@@ -320,23 +336,37 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         )
 
         # ---- 1. Resample (rank > 0), reference vcsmc.py:279-330 -------
+        # carried_weights: gate + draw on ACCUMULATED weights; the
+        # reference convention uses the previous rank's incremental
+        # weight only (valid because it resamples every rank).
+        gate_lw = (state["acc_log_w"] if config.carried_weights
+                   else state["prev_log_w"])
         if decisions is not None:
             sampled = dec["ancestors"]
         else:
-            sampled = resample_indices(
-                k_res, state["prev_log_w"], config.resampling
-            )
+            sampled = resample_indices(k_res, gate_lw, config.resampling)
         do_resample = r > 0
+        if config.carried_weights and config.resampling == "none":
+            do_resample = do_resample & False
         if config.ess_threshold is not None:
             # ESS = (sum w)^2 / sum w^2 on normalized weights
-            lw = state["prev_log_w"]
-            lw = lw - jax.scipy.special.logsumexp(lw)
+            lw = gate_lw - jax.scipy.special.logsumexp(gate_lw)
             ess = jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw))
             do_resample = do_resample & (
                 ess < config.ess_threshold * K
             )
         idx = jnp.where(do_resample, sampled, jnp.arange(K))
         logK = jnp.log(jnp.asarray(K, dtype=dtype))
+        if config.carried_weights:
+            # close the segment when resampling: its log Z contribution
+            # is logsumexp(accumulated log w) - log K; survivors restart
+            # with equal weights
+            seg = jax.scipy.special.logsumexp(state["acc_log_w"]) - logK
+            log_z = state["log_z"] + jnp.where(do_resample, seg, 0.0)
+            acc_base = jnp.where(do_resample, 0.0, state["acc_log_w"])
+        else:
+            log_z = state["log_z"]
+            acc_base = state["acc_log_w"]
         if dtype == jnp.float32:
             # pack the per-particle tables into ONE int32 matrix so the
             # ancestor permutation is a single gather (five separate
@@ -514,6 +544,7 @@ def sample_phylogenies(key, leaves, model, params, config, *,
             row_of_node=row_of_node, internal_msgs=internal_msgs,
             internal_logscale=internal_logscale, sum_bl=sum_bl,
             sum_br=sum_br, prev_log_w=log_w, prev_log_ll=log_ll_r,
+            acc_log_w=acc_base + log_w, log_z=log_z,
             branch_hist_l=branch_hist_l, branch_hist_r=branch_hist_r,
         )
         out = dict(
@@ -560,7 +591,14 @@ def sample_phylogenies(key, leaves, model, params, config, *,
 
     log_weights = outs["log_w"]
     log_likelihood = outs["log_ll"]
-    elbo = compute_log_zsmc(log_weights)
+    if config.carried_weights:
+        # final (open) segment closes at the last rank
+        logK = jnp.log(jnp.asarray(K, dtype=dtype))
+        elbo = final["log_z"] + (
+            jax.scipy.special.logsumexp(final["acc_log_w"]) - logK
+        )
+    else:
+        elbo = compute_log_zsmc(log_weights)
     log_likelihood_R = _debiased_log_likelihood(
         log_likelihood, final["branch_hist_l"], final["branch_hist_r"],
         rates_l, rates_r, N, config,

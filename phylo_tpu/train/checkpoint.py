@@ -3,19 +3,21 @@
 The reference has no checkpointing at all -- a dead run loses everything
 except the end-of-run pickle (SURVEY.md section 5).  Here params +
 optimizer state + epoch are saved per checkpoint directory and restored
-by path.
+by path; the training history is pickled next to the Orbax payload so a
+resumed run's results.p covers pre-resume epochs too.
 """
 
 from __future__ import annotations
 
 import os
+import pickle
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(path, params, opt_state, epoch):
+def save_checkpoint(path, params, opt_state, epoch, history=None):
     path = os.path.abspath(str(path))
     ckptr = ocp.StandardCheckpointer()
     payload = {
@@ -25,6 +27,11 @@ def save_checkpoint(path, params, opt_state, epoch):
     }
     ckptr.save(os.path.join(path, f"epoch_{epoch}"), payload, force=True)
     ckptr.wait_until_finished()
+    if history is not None:
+        # ragged per-epoch lists -> plain pickle, not an Orbax pytree
+        with open(os.path.join(path, f"epoch_{epoch}.history.p"),
+                  "wb") as f:
+            pickle.dump(history, f)
     return os.path.join(path, f"epoch_{epoch}")
 
 
@@ -42,8 +49,9 @@ def latest_checkpoint(path):
 
 
 def restore_checkpoint(path, params_like, opt_state_like):
-    """Restore (params, opt_state, epoch) from a checkpoint directory or
-    its parent (picks the latest epoch)."""
+    """Restore (params, opt_state, epoch, history) from a checkpoint
+    directory or its parent (picks the latest epoch).  history is None
+    for checkpoints written without one."""
     path = os.path.abspath(str(path))
     if os.path.basename(path).startswith("epoch_") is False:
         latest = latest_checkpoint(path)
@@ -57,8 +65,14 @@ def restore_checkpoint(path, params_like, opt_state_like):
         "epoch": np.asarray(0),
     }
     restored = ckptr.restore(path, target)
+    history = None
+    hist_path = path + ".history.p"
+    if os.path.exists(hist_path):
+        with open(hist_path, "rb") as f:
+            history = pickle.load(f)
     return (
         restored["params"],
         restored["opt_state"],
         int(restored["epoch"]),
+        history,
     )

@@ -58,13 +58,25 @@ def save_results(save_dir, config, dataset, history):
         "stationary_probs": np.asarray(history["stationary"]),
         "rates_l": np.asarray(history["rates_l"]),
         "rates_r": np.asarray(history["rates_r"]),
-        "jump_chain_evolution": history.get("newick_best", []),
+        # full all-K per-epoch jump-chain history (reference
+        # vcsmc.py:324,424-425,622-642); falls back to the best-particle
+        # Newick per epoch when full collection was disabled
+        "jump_chain_evolution": (
+            history.get("jump_chain_evolution")
+            or history.get("newick_best", [])
+        ),
+        "newick_best": history.get("newick_best", []),
         "best_epoch": best_epoch,
         "best_log_lik": ll_R[best_epoch] if len(ll_R) else None,
         "best_jump_chain": (
-            history["newick_best"][best_epoch]
-            if history.get("newick_best")
-            else None
+            history["jump_chain_evolution"][best_epoch]
+            if history.get("jump_chain_evolution")
+            and best_epoch < len(history["jump_chain_evolution"])
+            else (
+                history["newick_best"][best_epoch]
+                if history.get("newick_best")
+                else None
+            )
         ),
         "epoch_seconds": history["epoch_seconds"],
     }

@@ -41,6 +41,11 @@ class TrainConfig:
     M: int = 10                      # twisting subparticles (nested=True)
     nested: bool = False
     jcmodel: bool = False
+    # substitution model name (models.substitution.get_model); None
+    # keeps the reference selection: jc69 when jcmodel else the
+    # reference's learned-Q parameterization.  'gtr' trains textbook
+    # GTR (exchangeabilities x stationary).
+    substitution_model: Optional[str] = None
     resampling: str = "multinomial"
     dtype: str = "float32"
     seed: int = 0
@@ -51,10 +56,17 @@ class TrainConfig:
     # batching behavior: fresh random batches per epoch (default) or the
     # reference's fixed partition
     fixed_partition: bool = False
+    # adaptive resampling + estimator (see SweepConfig)
+    ess_threshold: Optional[float] = None
+    carried_weights: bool = False
     # artifacts
     results_dir: Optional[str] = None
     save_artifacts: bool = True
     collect_trees: bool = True
+    # full all-K per-epoch jump-chain history in results.p (reference
+    # jump_chain_evolution, vcsmc.py:324,424-425,622-642); decoded
+    # host-side per epoch only when artifacts are being saved
+    collect_jump_chains: bool = True
     checkpoint_every: int = 0        # epochs; 0 = disabled
     resume_from: Optional[str] = None
     # sharding: name of a mesh axis layout, None = single device
@@ -99,12 +111,17 @@ def _sweep_config(config, ds_N):
         resample_branch_history=config.resample_branch_history,
         right_multiplier_bug=config.right_multiplier_bug,
         twist=twist,
+        ess_threshold=config.ess_threshold,
+        carried_weights=config.carried_weights,
     )
 
 
 def init_params(dataset, config):
     dtype = jnp.dtype(config.dtype)
-    model = get_model("jc69" if config.jcmodel else "reference", A=dataset.A)
+    name = config.substitution_model or (
+        "jc69" if config.jcmodel else "reference"
+    )
+    model = get_model(name, A=dataset.A)
     params = {
         "model": model.init_params(dtype),
         "branches": init_branch_params(
@@ -141,11 +158,12 @@ def train(dataset, config: TrainConfig):
 
     opt_state = tx.init(params)
     start_epoch = 0
+    restored_history = None
     if config.resume_from:
         from phylo_tpu.train.checkpoint import restore_checkpoint
 
-        params, opt_state, start_epoch = restore_checkpoint(
-            config.resume_from, params, opt_state
+        params, opt_state, start_epoch, restored_history = (
+            restore_checkpoint(config.resume_from, params, opt_state)
         )
 
     @jax.jit
@@ -171,6 +189,11 @@ def train(dataset, config: TrainConfig):
 
     key = jax.random.PRNGKey(config.seed)
     rng = np.random.default_rng(config.seed)
+    if start_epoch:
+        # decorrelate the resumed PRNG stream from the pre-resume epochs
+        # (otherwise the seed's key sequence replays from scratch)
+        key = jax.random.fold_in(key, start_epoch)
+        rng = np.random.default_rng((config.seed, start_epoch))
 
     # initial full-data ELBO, as the reference reports before training
     # (reference vcsmc.py:496-500)
@@ -192,8 +215,13 @@ def train(dataset, config: TrainConfig):
         "left_branches": [], "right_branches": [],
         "log_weights": [], "log_lik": [], "log_lik_R": [],
         "rates_l": [], "rates_r": [], "epoch_seconds": [],
-        "newick_best": [],
+        "newick_best": [], "jump_chain_evolution": [],
     }
+    if restored_history is not None:
+        # keep pre-resume epochs so results.p indices match epoch numbers
+        for k, v in restored_history.items():
+            if k in history:
+                history[k] = list(v)
 
     fixed_batches = None
     if config.fixed_partition:
@@ -249,6 +277,16 @@ def train(dataset, config: TrainConfig):
             )
             history["newick_best"].append(to_newick(dataset.taxa,
                                                     gen[best_k]))
+        if config.collect_jump_chains and save_dir:
+            from phylo_tpu.viz.trees import jump_chain_evolution
+
+            history["jump_chain_evolution"].append(
+                jump_chain_evolution(
+                    dataset.taxa,
+                    np.asarray(res.ancestors),
+                    np.asarray(res.merged_nodes),
+                )
+            )
 
         if config.log_every and (epoch % config.log_every == 0):
             print(
@@ -265,7 +303,8 @@ def train(dataset, config: TrainConfig):
             from phylo_tpu.train.checkpoint import save_checkpoint
 
             save_checkpoint(
-                os.path.join(save_dir, "ckpt"), params, opt_state, epoch + 1
+                os.path.join(save_dir, "ckpt"), params, opt_state,
+                epoch + 1, history=history,
             )
 
     if save_dir:

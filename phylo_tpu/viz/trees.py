@@ -64,6 +64,48 @@ def decode_genealogy(ancestors, merged_nodes, left_branches=None,
     return out
 
 
+def jump_chain_evolution(taxa, ancestors, merged_nodes):
+    """Full per-particle jump-chain history for ALL K particles.
+
+    Reconstructs, per rank, the post-resample forest root names of every
+    particle slot -- the content the reference accumulates as its
+    ``jump_chains`` string tensor (reference vcsmc.py:324,424-425: each
+    rank concatenates the resampled-but-not-yet-merged ``jump_chain_tensor``;
+    history rows are SLOT-indexed, i.e. not re-gathered on resampling).
+
+    Returns a list of length K; element k is a list of per-rank
+    snapshots, each a list of root-name strings.  Snapshot 0 is the
+    initial taxa list; snapshot r is slot k's forest after rank r's
+    resampling; a final single-root snapshot (the completed tree, which
+    the reference's pre-merge convention omits) is appended last.
+    Root order is this sweep's canonical compaction order (stable
+    original order with the merged root appended); the reference's
+    top_k-based remaining order is sampling noise, not semantics.
+    """
+    ancestors = np.asarray(ancestors)
+    merged_nodes = np.asarray(merged_nodes)
+    R, K = ancestors.shape
+    N = len(taxa)
+    names = [{i: taxa[i] for i in range(N)} for _ in range(K)]
+    roots = [list(range(N)) for _ in range(K)]
+    chains = [[] for _ in range(K)]
+    for r in range(R):
+        idx = ancestors[r]
+        names = [dict(names[i]) for i in idx]
+        roots = [list(roots[i]) for i in idx]
+        for k in range(K):
+            chains[k].append([names[k][n] for n in roots[k]])
+            n1, n2 = (int(x) for x in merged_nodes[r, k])
+            nm = names[k][n1] + "+" + names[k][n2]
+            names[k][N + r] = nm
+            roots[k].remove(n1)
+            roots[k].remove(n2)
+            roots[k].append(N + r)
+    for k in range(K):
+        chains[k].append([names[k][n] for n in roots[k]])
+    return chains
+
+
 def _node_namer(taxa, merges):
     N = len(taxa)
 

@@ -48,3 +48,31 @@ def test_fixedq_model_matches_csmc_constants():
     np.testing.assert_allclose(
         P, scipy.linalg.expm(DEFAULT_Q4 * 2.0), atol=1e-10
     )
+
+
+def test_csmc_showing_draws_max_prob_tree(tmp_path):
+    ds = dataset_from_strings(STRINGS)
+    csmc = CSMC({"taxa": ds.taxa, "genome": ds.genome}, seed=3)
+    path = str(tmp_path / "tree.png")
+    out = csmc.sample_phylogenies(K=6, showing=True, save_path=path)
+    import os
+
+    assert os.path.exists(path)
+    g = out["graph"]
+    # the drawn graph is the max-probability particle's full tree:
+    # N-1 internal nodes + N leaves
+    assert g.number_of_nodes() == 2 * ds.N - 1
+    assert out["max_prob_tree_png"] == path
+
+
+def test_csmc_cli(tmp_path):
+    from phylo_tpu.cli.csmc import main
+
+    out = main([
+        "--dataset=load_strings", "--n_particles=4",
+        "--showing=true", f"--save_path={tmp_path}/t.png",
+    ])
+    import os
+
+    assert os.path.exists(f"{tmp_path}/t.png")
+    assert np.isfinite(out["norm"])

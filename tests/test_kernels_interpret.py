@@ -1,0 +1,100 @@
+"""Pallas kernel BODIES exercised in CI via interpret mode on CPU.
+
+tests/test_kernels.py validates the composed jnp reference (_ref_impl);
+these tests run the actual _kernel / _kernel_ll code paths through
+pallas_call(interpret=True) so a kernel regression cannot ship green
+without a TPU (VERDICT round-1 weak item 4 / ROADMAP item 10).
+
+Shapes deliberately hit the padding edges: K not a multiple of the
+particle tile, S off the 128-lane grid, A = 4 and 7 (spike data), and
+zero site weights (the padding convention).
+"""
+
+import numpy as np
+import pytest
+
+from phylo_tpu.pruning import kernels
+
+
+@pytest.fixture
+def interpret_mode():
+    kernels.INTERPRET = True
+    yield
+    kernels.INTERPRET = False
+
+
+def _inputs(rng, K, S, A, M=None, zero_tail=0):
+    m1 = rng.uniform(0.05, 1.0, (K, A, S))
+    m2 = rng.uniform(0.05, 1.0, (K, A, S))
+    shape = (M, K) if M is not None else (K,)
+    P_l = rng.uniform(0.05, 1.0, shape + (A, A))
+    P_r = rng.uniform(0.05, 1.0, shape + (A, A))
+    pi = rng.uniform(0.1, 1.0, (A,))
+    pi = pi / pi.sum()
+    w = rng.uniform(0.5, 2.0, (S,))
+    if zero_tail:
+        w[-zero_tail:] = 0.0
+    return m1, m2, P_l, P_r, pi, w
+
+
+@pytest.mark.parametrize(
+    "K,S,A,zero_tail",
+    [
+        (5, 33, 4, 0),     # K < TK, S < TS: both axes padded
+        (64, 128, 4, 0),   # exact tiles
+        (70, 130, 4, 3),   # off-tile both axes + zero-weight tail
+        (8, 150, 7, 2),    # spike alphabet A=7
+    ],
+)
+def test_fused_merge_kernel_body_matches_ref(interpret_mode, rng, K, S, A,
+                                             zero_tail):
+    args = _inputs(rng, K, S, A, zero_tail=zero_tail)
+    merged, rootll, logscale = kernels.fused_merge_loglik(*args)
+    m_ref, r_ref, l_ref = kernels._ref_impl(*args)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(m_ref),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(rootll), np.asarray(r_ref),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(logscale), np.asarray(l_ref),
+                               rtol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "K,S,A,M",
+    [
+        (5, 33, 4, 3),     # tiny, padded everywhere
+        (16, 128, 4, 10),  # reference autorun M
+        (130, 70, 4, 2),   # K > 128 -> 128-lane particle tiles + pad
+        (8, 40, 7, 4),     # A=7
+    ],
+)
+def test_pair_loglik_kernel_body_matches_ref(interpret_mode, rng, K, S, A,
+                                             M):
+    args = _inputs(rng, K, S, A, M=M)
+    out = kernels.fused_pair_loglik(*args)
+    ref = kernels._pair_ll_ref(*args)
+    assert out.shape == (M, K)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12)
+
+
+def test_kernel_gradients_flow_through_interpret(interpret_mode, rng):
+    # custom_vjp routes gradients through _ref_impl regardless of the
+    # forward path; check they are finite and match the pure-ref grads.
+    import jax
+    import jax.numpy as jnp
+
+    args = tuple(jnp.asarray(a) for a in _inputs(rng, 5, 33, 4))
+
+    def loss_kernel(m1):
+        _, rootll, logscale = kernels.fused_merge_loglik(m1, *args[1:])
+        return jnp.sum(rootll + logscale)
+
+    def loss_ref(m1):
+        _, rootll, logscale = kernels._ref_impl(m1, *args[1:])
+        return jnp.sum(rootll + logscale)
+
+    g_k = jax.grad(loss_kernel)(args[0])
+    g_r = jax.grad(loss_ref)(args[0])
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                               rtol=1e-12)

@@ -64,3 +64,26 @@ def test_tree_probabilities_group_identical_topologies():
     probs = tree_probabilities(TAXA, gen, np.array([0.0, 0.0]))
     assert len(probs) == 1
     np.testing.assert_allclose(probs[0][0], 1.0)
+
+
+def test_jump_chain_evolution_hand_traced():
+    from phylo_tpu.viz.trees import jump_chain_evolution
+
+    ancestors, merged = _records()
+    chains = jump_chain_evolution(TAXA, ancestors, merged)
+    assert len(chains) == 2
+    # rank-0 snapshot: initial taxa; rank-1: slot content after copying
+    # particle 1 (which merged go+or); rank-2: post (0,1)->5 merge;
+    # final: completed root (k0 merged (5,4), k1 merged (4,5))
+    assert chains[0] == [
+        ["hu", "ch", "go", "or"],
+        ["hu", "ch", "go+or"],
+        ["go+or", "hu+ch"],
+        ["hu+ch+go+or"],
+    ]
+    assert chains[1] == [
+        ["hu", "ch", "go", "or"],
+        ["hu", "ch", "go+or"],
+        ["go+or", "hu+ch"],
+        ["go+or+hu+ch"],
+    ]

@@ -86,6 +86,68 @@ def test_twist_parity_vs_oracle():
     np.testing.assert_allclose(float(got.elbo), want["elbo"], rtol=1e-8)
 
 
+def test_twist_parity_chunked_scale():
+    """Golden parity where pair-axis chunking actually kicks in
+    (VERDICT round-1 weak item 6): N=9 gives P=C(9,2)=36 static pairs;
+    pair_chunk=10 forces 4 lax.map chunks including a padded tail
+    (P_pad=40), and ranks shrink n_active through several chunk
+    boundaries.  M=4 exercises the subsample-recovery idx//M, idx%M
+    arithmetic beyond the toy M."""
+    from phylo_tpu.dataio import simulate_dna
+
+    ds = simulate_dna(9, 17, seed=7)
+    N, K, M = ds.N, 5, 4
+    model = ReferenceQ(A=4)
+    rng = np.random.default_rng(42)
+    params = {
+        "model": model.init_params(jnp.float64),
+        "branches": init_branch_params(N, dtype=jnp.float64),
+    }
+    params["branches"]["log_rates_l"] = params["branches"][
+        "log_rates_l"] + jnp.asarray(rng.normal(0, 0.3, N - 1))
+    params["branches"]["log_rates_r"] = params["branches"][
+        "log_rates_r"] + jnp.asarray(rng.normal(0, 0.3, N - 1))
+    rates_l = np.exp(np.asarray(params["branches"]["log_rates_l"]))
+    rates_r = np.exp(np.asarray(params["branches"]["log_rates_r"]))
+
+    dec = make_twist_decisions(rng, N, K, M, rates_l, rates_r)
+    config = SweepConfig(K=K, twist=TwistConfig(M=M, pair_chunk=10))
+    assert len(upper_tri_pairs(N)) == 36       # 4 chunks, padded tail
+    leaves = jnp.asarray(ds.genome, dtype=jnp.float64)
+    got = sample_phylogenies(
+        jax.random.PRNGKey(0), leaves, model, params, config,
+        decisions=dec,
+    )
+
+    oracle = OracleVNCSMC(
+        ds.genome,
+        np.asarray(model.Q(params["model"])),
+        np.asarray(model.stationary(params["model"])),
+        rates_l, rates_r, K, M=M,
+    )
+    want = oracle.run(jax.tree.map(np.asarray, dec))
+    np.testing.assert_allclose(
+        np.asarray(got.log_weights), want["log_weights"], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.log_likelihood), want["log_likelihood"],
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(float(got.elbo), want["elbo"], rtol=1e-9)
+
+    # chunking must be a pure implementation detail: a different chunk
+    # size yields bit-comparable results under the same decisions
+    config2 = SweepConfig(K=K, twist=TwistConfig(M=M, pair_chunk=36))
+    got2 = sample_phylogenies(
+        jax.random.PRNGKey(0), leaves, model, params, config2,
+        decisions=dec,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.log_weights), np.asarray(got2.log_weights),
+        rtol=1e-12,
+    )
+
+
 def test_twist_sampled_path_runs_and_jits():
     ds = dataset_from_strings(STRINGS)
     model = JC69(A=4)
