@@ -76,6 +76,13 @@ def parse_args(argv=None):
     p.add_argument("--mesh", default=None,
                    help="comma-separated mesh shape for site sharding, "
                    "e.g. '4' shards sites over 4 devices")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: jax.distributed coordinator "
+                   "address host:port (or set JAX_COORDINATOR_ADDRESS)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="multi-host: this process's index")
     p.add_argument("--reference_compat", type=_boolish, default=True,
                    help="reproduce reference weight-recursion quirks")
     p.add_argument("--fixed_partition", type=_boolish, default=False,
@@ -89,6 +96,21 @@ def _boolish(x):
 
 def main(argv=None):
     args = parse_args(argv)
+
+    if args.coordinator or args.num_processes or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        from phylo_tpu.parallel import (
+            initialize_distributed,
+            process_summary,
+        )
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(process_summary())
 
     try:
         import jax

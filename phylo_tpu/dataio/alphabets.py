@@ -8,6 +8,14 @@ Conventions follow the reference loaders (reference runner.py:83-97):
   (the standard "missing data" convention in Felsenstein pruning),
 * the alphabet size A is whatever the data says (A=7 datasets such as
   spikeGP.p work unchanged, cf. reference vcsmc.py:118).
+
+EXTENSION beyond the reference: the default gap set also treats the
+IUPAC "any base" code ``N``/``n`` as missing data.  The reference's
+Alphabet_dir_blank maps only ``-`` and ``?`` (runner.py:91-96) and
+would KeyError on N; on alignments containing N, likelihoods under the
+default therefore differ from what the reference convention would
+produce (it would crash).  Pass ``gap_chars=REFERENCE_GAP_CHARS`` for
+strict reference behavior in parity comparisons.
 """
 
 from __future__ import annotations
@@ -15,11 +23,14 @@ from __future__ import annotations
 import numpy as np
 
 DNA_ALPHABET = "ACGT"
-GAP_CHARS = "-?Nn"
+REFERENCE_GAP_CHARS = "-?"   # exactly the reference's blank set
+GAP_CHARS = "-?Nn"           # + IUPAC N as missing (extension, see above)
 
 
-def one_hot_rows(alphabet: str = DNA_ALPHABET) -> dict:
-    """Character -> one-hot row dict for ``alphabet`` plus all-ones gaps."""
+def one_hot_rows(alphabet: str = DNA_ALPHABET,
+                 gap_chars: str = GAP_CHARS) -> dict:
+    """Character -> one-hot row dict for ``alphabet`` plus all-ones rows
+    for every character in ``gap_chars``."""
     A = len(alphabet)
     rows = {}
     for i, ch in enumerate(alphabet):
@@ -28,17 +39,21 @@ def one_hot_rows(alphabet: str = DNA_ALPHABET) -> dict:
         rows[ch.upper()] = row
         rows[ch.lower()] = row
     ones = np.ones(A)
-    for ch in GAP_CHARS:
+    for ch in gap_chars:
         rows[ch] = ones
     return rows
 
 
-def encode_strings(strings, alphabet: str = DNA_ALPHABET, dtype=np.float64):
+def encode_strings(strings, alphabet: str = DNA_ALPHABET,
+                   dtype=np.float64, gap_chars: str = GAP_CHARS):
     """Encode equal-length sequences into an (N, S, A) one-hot array.
 
     Equivalent to the reference's ``form_dataset_from_strings``
     (runner.py:107-115) but vectorized via a lookup table instead of a
-    double Python loop.
+    double Python loop.  ``gap_chars`` characters encode as all-ones
+    (missing data); the default includes N/n, which the reference does
+    not accept -- use ``gap_chars=REFERENCE_GAP_CHARS`` for strict
+    parity.
     """
     if not strings:
         raise ValueError("need at least one sequence")
@@ -46,7 +61,7 @@ def encode_strings(strings, alphabet: str = DNA_ALPHABET, dtype=np.float64):
     for s in strings:
         if len(s) != S:
             raise ValueError("sequences must have equal length")
-    rows = one_hot_rows(alphabet)
+    rows = one_hot_rows(alphabet, gap_chars)
     A = len(alphabet)
     # Build a 256-row lookup table indexed by character code.
     table = np.full((256, A), np.nan, dtype=dtype)

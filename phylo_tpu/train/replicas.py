@@ -19,7 +19,6 @@ import numpy as np
 import optax
 
 from phylo_tpu.smc.sweep import sample_phylogenies
-from phylo_tpu.train.minibatch import site_batches
 from phylo_tpu.train.trainer import _optimizer, _sweep_config, init_params
 
 
@@ -67,16 +66,18 @@ def train_replicas(dataset, config, n_replicas):
 
     rng = np.random.default_rng(config.seed)
     history = {"elbo": [], "epoch_seconds": []}
+    bs = min(config.batch_size, S)
+    n_steps = max(1, S // bs)
     for epoch in range(config.num_epoch):
         t0 = time.time()
-        for site_idx in site_batches(rng, S, config.batch_size):
-            # per-replica independent site batches
-            idx = jnp.stack(
-                [
-                    jnp.asarray(rng.permutation(S)[: len(site_idx)])
-                    for _ in range(n_replicas)
-                ]
-            )
+        # one independent permutation per replica per epoch, sliced into
+        # consecutive batch_size chunks -- matching the single-run
+        # trainer's epoch semantics (each replica visits each kept site
+        # exactly once per epoch; fresh prefixes per step would revisit
+        # some sites and skip others)
+        perms = np.stack([rng.permutation(S) for _ in range(n_replicas)])
+        for step in range(n_steps):
+            idx = jnp.asarray(perms[:, step * bs: (step + 1) * bs])
             keys, subs = _split_all(keys)
             params, opt_state, loss = train_step(
                 params, opt_state, subs, idx

@@ -73,3 +73,20 @@ def test_missing_datasets_raise():
         load_dataset("corona_data")
     with pytest.raises(FileNotFoundError, match="not shipped"):
         load_dataset("ginkgo")
+
+
+def test_reference_gap_chars_reject_n():
+    # Strict reference mode: '-' and '?' only (reference runner.py:91-96
+    # would KeyError on N); the default extension accepts N as missing.
+    import numpy as np
+    import pytest
+
+    from phylo_tpu.dataio.alphabets import (
+        REFERENCE_GAP_CHARS,
+        encode_strings,
+    )
+
+    enc = encode_strings(["ACNT"])          # default: N -> all-ones
+    np.testing.assert_allclose(enc[0, 2], 1.0)
+    with pytest.raises(ValueError, match="not in alphabet"):
+        encode_strings(["ACNT"], gap_chars=REFERENCE_GAP_CHARS)
