@@ -47,7 +47,7 @@ def parse_args(argv=None):
     p.add_argument("--jcmodel", type=_boolish, default=False,
                    help="fixed JC69 substitution model")
     p.add_argument("--model", default=None,
-                   choices=["jc69", "reference", "gtr"],
+                   choices=["jc69", "reference", "gtr", "hky"],
                    help="substitution model; overrides --jcmodel "
                    "(default: reference learned-Q, or jc69 when "
                    "--jcmodel=true)")

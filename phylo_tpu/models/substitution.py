@@ -134,6 +134,56 @@ class GTR(_Model):
         return expm_ctmc(self.Q(params), b)
 
 
+class HKY(_Model):
+    """HKY85: one transition/transversion rate ratio kappa plus a learned
+    stationary distribution (A=4 nucleotides in ACGT order: transitions
+    are A<->G and C<->T).  Q_ij = kappa * pi_j for transitions,
+    pi_j for transversions, diagonal = -row sum; optionally normalized to
+    unit expected substitution rate.  Not present in the reference
+    (which has only JC69 and its learned row-normalized Q,
+    vcsmc.py:119-148); a standard family between the two.
+    """
+
+    def __init__(self, A=4, normalize=True):
+        if A != 4:
+            raise ValueError("HKY85 is defined for the A=4 DNA alphabet")
+        self.A = 4
+        self.normalize = normalize
+
+    def init_params(self, dtype=jnp.float32):
+        return {
+            "log_kappa": jnp.zeros((), dtype=dtype),
+            "y_station": jnp.zeros((self.A,), dtype=dtype),
+        }
+
+    _TRANSITION_MASK = (
+        (0, 0, 1, 0),   # A<->G
+        (0, 0, 0, 1),   # C<->T
+        (1, 0, 0, 0),
+        (0, 1, 0, 0),
+    )
+
+    def Q(self, params):
+        pi = self.stationary(params)
+        kappa = jnp.exp(params["log_kappa"])
+        mask = jnp.asarray(self._TRANSITION_MASK,
+                           dtype=params["y_station"].dtype)
+        off = jnp.where(mask == 1.0, kappa, 1.0) * pi[None, :]
+        off = off * (1.0 - jnp.eye(4, dtype=off.dtype))
+        q = off - jnp.diag(jnp.sum(off, axis=1))
+        if self.normalize:
+            rate = -jnp.sum(pi * jnp.diagonal(q))
+            q = q / jnp.maximum(rate, 1e-30)
+        return q
+
+    def stationary(self, params):
+        e = jnp.exp(params["y_station"])
+        return e / jnp.sum(e)
+
+    def transition(self, params, b):
+        return expm_ctmc(self.Q(params), b)
+
+
 class FixedQ(_Model):
     """A fixed, user-supplied rate matrix with uniform (or supplied)
     stationary probabilities -- the non-variational CSMC oracle's setup
@@ -170,4 +220,6 @@ def get_model(name, A=4):
         return ReferenceQ(A)
     if name == "gtr":
         return GTR(A)
+    if name in ("hky", "hky85"):
+        return HKY(A)
     raise KeyError(f"unknown substitution model {name!r}")

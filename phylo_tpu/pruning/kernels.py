@@ -273,12 +273,17 @@ def fused_pair_loglik(m1, m2, P_l, P_r, pi, weights):
     Gradients via the jnp reference (custom_vjp); non-TPU backends use
     the reference directly.
 
-    STATUS: exactly correct on TPU, but measured SLOWER than the XLA
-    multiply-add path when vmapped over the twist pair chunk (the
-    batching rule adds an outer grid dimension, exploding the program
-    count at small K/M tiles); the twist module therefore uses the jnp
-    path.  See ROADMAP.md: the winning shape folds pairs x M x K into
-    the particle-tile axis of a single pallas_call.
+    STATUS: exactly correct on TPU (interpret-mode CI coverage in
+    tests/test_kernels_interpret.py) and wired into the twist module
+    behind TwistConfig.use_pallas_ll, including the ROADMAP-suggested
+    shape that folds pairs x M x K into the particle-tile axis of ONE
+    pallas_call per chunk (no vmap).  Round-2 v5e measurements
+    (tools/perf_probe.py) still favor the jnp multiply-add path at every
+    probed scale (betacorona K=32 M=10 fwd 316 vs 94 ms; primate K=32
+    31 vs 21 ms; primate K=256 185 vs 129 ms): the (K-tile, site-tile,
+    M) program grid re-fetches message tiles per program while XLA keeps
+    them pipelined inside a single fusion.  use_pallas_ll therefore
+    defaults to False.
     """
     return _pair_ll(m1, m2, P_l, P_r, pi, weights)
 
@@ -369,3 +374,247 @@ def _pair_ll_bwd(res, g):
 
 
 _pair_ll.defvjp(_pair_ll_fwd, _pair_ll_bwd)
+
+
+# ---------------------------------------------------------------------
+# pair_loglik: XLA forward + PALLAS BACKWARD.
+#
+# The forward multiply-add chain fuses into one streaming pass under
+# XLA (measured faster than the forward Pallas kernel, see
+# fused_pair_loglik STATUS).  Its XLA-derived BACKWARD, however, is a
+# single mega reduce-fusion that re-reads the (M, CK, S) tensors ~55x
+# (xprof round 2: 33.6 ms/rank at 143 GB/s for primate K=32 M=10 --
+# the reverse pass cost 20x the forward).  _kernel_ll_bwd computes the
+# exact cotangents in ONE streaming pass: grid is (site-tile,
+# particle-tile) only, the M subsamples are unrolled INSIDE the program
+# (the first two-kernel revision kept M in the grid and spent ~9 ms/rank
+# on program dispatch + block flushes), and every output is write-once:
+#
+#   dm1, dm2            (tile-indexed, fully reduced over M in-register)
+#   dP partials         per site-tile, summed in jnp afterwards
+#   dweights partials   per particle-tile, summed afterwards
+#   dpi                 via the identity dpi_b = sum_{m,k,a}
+#                       dP_l[m,k,a,b] P_l[m,k,a,b] / pi_b (s-independent
+#                       P factors out of the site sum), so it needs no
+#                       kernel output at all.
+#
+# All arithmetic is exact f32 on the VPU (same precision rules as the
+# forward).
+# ---------------------------------------------------------------------
+
+
+def _kernel_ll_bwd(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
+                   g_ref, dm1_ref, dm2_ref, dpl_ref, dpr_ref,
+                   *, A, M):
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    js = pl.program_id(1)
+    w = w_ref[:]                                        # (1, TS)
+    tk, _, ts = m1_ref.shape
+    dtype = w.dtype
+    zero = jnp.zeros((tk, ts), dtype)
+
+    @pl.when(js == 0)
+    def _():
+        dpl_ref[:] = jnp.zeros_like(dpl_ref)
+        dpr_ref[:] = jnp.zeros_like(dpr_ref)
+
+    # the M subsamples run as a fori_loop (a fully unrolled M x A^2 body
+    # SIGKILLed the Mosaic compiler); dm accumulates in the carry, dP
+    # rows store directly at their dynamic m index
+    # coefficient columns are extracted ONCE per (m, a, b) and reused by
+    # both the u/v recompute and the dm accumulation; a sublane-major
+    # (M, A*A, Kp, 1) coefficient layout was tried instead and blew the
+    # scoped-vmem budget 5x (Mosaic pads the trailing 1 to 128 lanes)
+    def body(m, carry):
+        dm1, dm2 = carry
+        pl_c = [pl_ref[m, :, c][:, None] for c in range(A * A)]
+        pr_c = [pr_ref[m, :, c][:, None] for c in range(A * A)]
+        u = []
+        v = []
+        site_lik = None
+        for b in range(A):
+            u_b = None
+            v_b = None
+            for a in range(A):
+                tu = m1_ref[:, a, :] * pl_c[a * A + b]
+                tv = m2_ref[:, a, :] * pr_c[a * A + b]
+                u_b = tu if u_b is None else u_b + tu
+                v_b = tv if v_b is None else v_b + tv
+            u.append(u_b)
+            v.append(v_b)
+            term = (u_b * v_b) * pi_ref[0, b]
+            site_lik = term if site_lik is None else site_lik + term
+
+        g = g_ref[m, :][:, None]                        # (TK, 1)
+        gsite = (g * w) / site_lik                      # (TK, TS)
+
+        dm1 = list(dm1)
+        dm2 = list(dm2)
+        cols_l = [None] * (A * A)
+        cols_r = [None] * (A * A)
+        for b in range(A):
+            du_b = gsite * (v[b] * pi_ref[0, b])
+            dv_b = gsite * (u[b] * pi_ref[0, b])
+            for a in range(A):
+                dm1[a] = dm1[a] + du_b * pl_c[a * A + b]
+                dm2[a] = dm2[a] + dv_b * pr_c[a * A + b]
+                cols_l[a * A + b] = jnp.sum(
+                    du_b * m1_ref[:, a, :], axis=-1
+                )
+                cols_r[a * A + b] = jnp.sum(
+                    dv_b * m2_ref[:, a, :], axis=-1
+                )
+        dpl_ref[m] += jnp.stack(cols_l, axis=-1)        # (TK, A*A)
+        dpr_ref[m] += jnp.stack(cols_r, axis=-1)
+        return tuple(dm1), tuple(dm2)
+
+    init = (
+        tuple(zero for _ in range(A)),
+        tuple(zero for _ in range(A)),
+    )
+    dm1, dm2 = lax.fori_loop(0, M, body, init)
+    for a in range(A):
+        dm1_ref[:, a, :] = dm1[a]
+        dm2_ref[:, a, :] = dm2[a]
+
+
+def _dw_ref(m1, m2, P_l, P_r, pi, g):
+    """dll/dweights_s = sum_{m,k} g[m,k] log site_lik[m,k,s] (jnp;
+    dead-code-eliminated whenever the weights cotangent is unused)."""
+    A = pi.shape[0]
+    site_lik = None
+    for b in range(A):
+        u_b = None
+        v_b = None
+        for a in range(A):
+            tu = m1[None, :, a, :] * P_l[:, :, a, b, None]
+            tv = m2[None, :, a, :] * P_r[:, :, a, b, None]
+            u_b = tu if u_b is None else u_b + tu
+            v_b = tv if v_b is None else v_b + tv
+        term = (u_b * v_b) * pi[b]
+        site_lik = term if site_lik is None else site_lik + term
+    return jnp.sum(g[:, :, None] * jnp.log(site_lik), axis=(0, 1))
+
+
+def _pair_ll_bwd_pallas(m1, m2, P_l, P_r, pi, weights, g):
+    """Exact cotangents of _pair_ll_ref in one streaming Pallas pass.
+
+    m1, m2: (K, A, S); P_l, P_r: (M, K, A, A); pi: (A,); weights: (S,);
+    g: (M, K) output cotangent.  Returns (dm1, dm2, dP_l, dP_r, dpi, dw).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K, A, _ = P_l.shape
+    S = m1.shape[-1]
+    dtype = m1.dtype
+    if K >= 128:
+        tk = 128
+        Kp = _round_up(K, tk)
+    else:
+        tk = Kp = _round_up(K, 8)
+    Sp = _round_up(S, TS)
+    # smaller site tile than the forward: the body carries ~20 (tk, ts)
+    # scratch arrays (u, v, dm accumulators), and (tk=128, ts=512)
+    # overflowed the 16 MB scoped-vmem limit by ~1 MB
+    ts = TS_MAX // 2
+    while ts > TS and Sp % ts:
+        ts -= TS
+    n_ik = Kp // tk
+    n_js = Sp // ts
+
+    pad_msg = ((0, Kp - K), (0, 0), (0, Sp - S))
+    m1k = jnp.pad(m1, pad_msg, constant_values=1.0)
+    m2k = jnp.pad(m2, pad_msg, constant_values=1.0)
+    pk_l = jnp.pad(P_l.reshape(M, K, A * A),
+                   ((0, 0), (0, Kp - K), (0, 0)), constant_values=1.0)
+    pk_r = jnp.pad(P_r.reshape(M, K, A * A),
+                   ((0, 0), (0, Kp - K), (0, 0)), constant_values=1.0)
+    # padded sites get weight 0 AND cotangent 0 for padded particles,
+    # so every padded contribution vanishes exactly
+    wk = jnp.pad(weights[None], ((0, 0), (0, Sp - S)))
+    gk = jnp.pad(g, ((0, 0), (0, Kp - K)))
+
+    msg_spec = pl.BlockSpec((tk, A, ts), lambda ik, js: (ik, 0, js),
+                            memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((M, tk, A * A), lambda ik, js: (0, ik, 0),
+                          memory_space=pltpu.VMEM)
+    dm1, dm2, dpl_out, dpr_out = pl.pallas_call(
+        functools.partial(_kernel_ll_bwd, A=A, M=M),
+        grid=(n_ik, n_js),
+        interpret=INTERPRET,
+        # the body keeps ~20 (tk, ts) scratch arrays live (u/v planes +
+        # dm accumulators across the M fori_loop); the default 16 MB
+        # scoped-vmem budget is too tight -- v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        in_specs=[
+            msg_spec, msg_spec, p_spec, p_spec,
+            pl.BlockSpec((1, A), lambda ik, js: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), lambda ik, js: (0, js),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, tk), lambda ik, js: (0, ik),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            msg_spec, msg_spec,
+            # accumulated over the (innermost, consecutive) js steps
+            p_spec, p_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Kp, A, Sp), dtype),
+            jax.ShapeDtypeStruct((Kp, A, Sp), dtype),
+            jax.ShapeDtypeStruct((M, Kp, A * A), dtype),
+            jax.ShapeDtypeStruct((M, Kp, A * A), dtype),
+        ],
+    )(m1k, m2k, pk_l, pk_r, pi[None], wk, gk)
+
+    dpl = dpl_out[:, :K].reshape(M, K, A, A)
+    dpr = dpr_out[:, :K].reshape(M, K, A, A)
+    # the site-weights cotangent (needed only if someone differentiates
+    # the weights, which training never does) stays OUTSIDE the custom
+    # call as plain jnp so XLA dead-code-eliminates it -- in-kernel it
+    # forced a per-(m, tile) transcendental log on every backward
+    dw = _dw_ref(m1, m2, P_l, P_r, pi, g)
+    # dpi_b = sum_{m,k,a} dP_l[m,k,a,b] P_l[m,k,a,b] / pi_b: the
+    # s-independent P factors out of dP's site sum, so no kernel output
+    # is needed (softmax stationaries are strictly positive)
+    dpi = jnp.sum(dpl * P_l, axis=(0, 1, 2)) / pi
+    return dm1[:K, :, :S], dm2[:K, :, :S], dpl, dpr, dpi, dw
+
+
+
+@jax.custom_vjp
+def pair_loglik(m1, m2, P_l, P_r, pi, weights):
+    """Data log-likelihoods of M candidate merges per particle, with the
+    XLA-fused forward and the streaming Pallas BACKWARD.
+
+    Same contract as fused_pair_loglik: m1, m2 (K, A, S) scaled child
+    messages shared across M; P_l, P_r (M, K, A, A); pi (A,);
+    weights (S,); returns (M, K).  This is the production twist op:
+    forward stays the single XLA fusion (fastest measured), backward
+    runs _kernel_ll_bwd on TPU (one streaming pass instead of
+    XLA's ~55-pass reverse fusion) and falls back to
+    the jnp VJP elsewhere.
+    """
+    return _pair_ll_ref(m1, m2, P_l, P_r, pi, weights)
+
+
+def _pair_loglik_fwd(m1, m2, P_l, P_r, pi, weights):
+    return (_pair_ll_ref(m1, m2, P_l, P_r, pi, weights),
+            (m1, m2, P_l, P_r, pi, weights))
+
+
+def _pair_loglik_bwd(res, g):
+    if jax.default_backend() == "tpu" or INTERPRET:
+        return _pair_ll_bwd_pallas(*res, g)
+    _, vjp = jax.vjp(_pair_ll_ref, *res)
+    return vjp(g)
+
+
+pair_loglik.defvjp(_pair_loglik_fwd, _pair_loglik_bwd)

@@ -409,19 +409,20 @@ def sample_phylogenies(key, leaves, model, params, config, *,
 
         # ---- 2. Extend partial state: pair + branch proposal ----------
         if config.twist is not None:
-            p1, p2, b_l, b_r, q_pen = twisted_extend(
+            p1, p2, b_l, b_r, P_l, P_r, q_pen = twisted_extend(
                 k_tw, config, model, params, stationary, leaves,
                 slot, leaf_counts, row_of_node,
                 state["internal_msgs"], state["internal_logscale"],
                 r, n_active, rate_l, rate_r, dec,
                 site_weights=site_weights, root_ll=root_ll,
             )
-            # twisted branches are selected in-loop; their transitions
-            # cannot be presampled
-            P_lr = model.transition(
-                params["model"], jnp.concatenate([b_l, b_r])
-            ).astype(dtype)
-            P_l, P_r = P_lr[:K], P_lr[K:]
+            if P_l is None:
+                # pool expm was not presampled (over budget): compute
+                # the chosen branches' transitions in-loop
+                P_lr = model.transition(
+                    params["model"], jnp.concatenate([b_l, b_r])
+                ).astype(dtype)
+                P_l, P_r = P_lr[:K], P_lr[K:]
         else:
             if decisions is not None:
                 p1 = dec["pairs"][:, 0]
@@ -584,6 +585,18 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         xs_dec.update(
             branches_l=b_l_all, branches_r=b_r_all,
             P_l=P_all[:, :K], P_r=P_all[:, K:],
+        )
+    else:
+        # twist pools (and, within budget, the expm of every pool
+        # entry) are state-independent: generate them for ALL ranks in
+        # one batched call before the scan (see precompute_twist_xs)
+        from phylo_tpu.smc.twist import precompute_twist_xs
+
+        xs_dec.update(
+            precompute_twist_xs(
+                key, config, model, params, rates_l, rates_r, N, dtype,
+                decisions,
+            )
         )
     xs = (ranks, xs_dec)
     step_fn = jax.checkpoint(step) if config.remat else step

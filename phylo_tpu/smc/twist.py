@@ -28,6 +28,7 @@ pair is idx // M and the subsample is idx % M (vncsmc.py:298-301).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
@@ -43,10 +44,57 @@ class TwistConfig:
     """M: subparticle branch samples per candidate pair
     (reference runner.py:42-45); pair_chunk: pairs evaluated per
     lax.map batch (memory knob for the (chunk, M, K, S, A) intermediate).
+
+    use_pallas_ll: evaluate the look-ahead merge log-likelihoods with the
+    fused Pallas kernel (pruning.kernels.fused_pair_loglik), folding the
+    pair chunk into the kernel's particle-tile axis (ONE pallas_call per
+    chunk, no vmap).  TPU backends only; CPU keeps the jnp path.
+    DEFAULT OFF: measured on v5e (round 2, tools/perf_probe.py) the
+    kernel loses to the single XLA fusion of explicit multiply-adds at
+    every probed scale -- betacorona K=32 M=10 fwd 316 ms vs 94 ms,
+    primate K=32 31 ms vs 21 ms, primate K=256 185 ms vs 129 ms: the
+    (pairs x M) program grid re-fetches message tiles that XLA keeps
+    pipelined in one fusion.  Kept for future tile-shape work.
     """
 
     M: int = 10
-    pair_chunk: int = 8
+    # pairs per lax.map batch; None auto-sizes from v5e measurements
+    # (tools/perf_probe.py round 2): when the WHOLE enumeration fits in
+    # ~3x chunk_budget_mb, one chunk wins (primate S=1024: 20.0 ms vs
+    # 21.4 at chunk=8); beyond that, ~chunk_budget_mb chunks win and
+    # larger ones lose (betacorona S=3328: 94 ms at chunk=8 vs 141 at
+    # chunk=30).  The remat backward bounds live memory to ~one chunk
+    # either way.
+    pair_chunk: Optional[int] = None
+    chunk_budget_mb: int = 32
+    use_pallas_ll: bool = False
+    # rematerialize each pair chunk's potential computation under
+    # reverse-mode AD: without it, AD stacks the (M, chunk*K, S)
+    # intermediates for EVERY rank x chunk (143 GB at betacorona
+    # K=32 M=10 -- an instant OOM); with it the backward recomputes a
+    # chunk at a time.  The recompute is a handful of VPU multiply-adds,
+    # far cheaper than the HBM traffic it saves.
+    remat: bool = True
+    # hoist the expm of the ENTIRE (ranks x pairs x M x K x 2) branch
+    # pool into one batched call before the scan -- the same
+    # state-independence trick the non-twisted path uses for its branch
+    # proposals.  Measured NEUTRAL on the backward once the Pallas
+    # backward kernel landed (the in-loop expm was not the reverse-pass
+    # bottleneck after all) and a small forward regression (25 vs 20 ms
+    # at primate K=32), so default OFF; kept as an option for models
+    # whose transition() is genuinely expensive.  Falls back to in-loop
+    # expm when the pool transitions would exceed presample_budget_mb.
+    presample_expm: bool = False
+    presample_budget_mb: int = 1024
+
+    def resolve_chunk(self, P, M, K, S, itemsize):
+        C = self.pair_chunk
+        if C is None:
+            per_pair = max(1, M * K * S * itemsize)
+            if P * per_pair <= 3 * self.chunk_budget_mb * 2**20:
+                return P
+            C = int((self.chunk_budget_mb * 2**20) // per_pair)
+        return max(1, min(C, P))
 
 
 def upper_tri_pairs(N):
@@ -59,15 +107,64 @@ def upper_tri_pairs(N):
     )
 
 
+def precompute_twist_xs(key, config, model, params, rates_l, rates_r,
+                        N, dtype, decisions=None):
+    """Pre-scan twist randomness + transitions, as lax.scan xs arrays
+    (leading axis = rank).
+
+    Branch pools are state-independent exponential draws, so the WHOLE
+    (R, P, M, K) left/right pool -- and, within presample_budget_mb, the
+    expm of every pool entry -- is generated in one batched call before
+    the scan.  The reference (and a per-rank port) instead pays a
+    sequential expm chain inside every rank x pair iteration
+    (vncsmc.py:350-356); under reverse-mode AD that in-loop chain of
+    ~24 tiny sequential steps per chunk dominated the twist backward
+    (440 ms vs 21 ms forward at primate K=32, tools/twist_bisect.py).
+    """
+    twist = config.twist
+    M, K = twist.M, config.K
+    R = N - 1
+    P = len(upper_tri_pairs(N))
+    if decisions is not None and "twist_pool_l" in decisions:
+        pool_l = decisions["twist_pool_l"].astype(dtype)   # (R, P, M, K)
+        pool_r = decisions["twist_pool_r"].astype(dtype)
+    else:
+        kl, kr = jax.random.split(jax.random.fold_in(key, 0x7717))
+        pool_l = (
+            jax.random.exponential(kl, (R, P, M, K), dtype=dtype)
+            / rates_l[:, None, None, None].astype(dtype)
+        )
+        pool_r = (
+            jax.random.exponential(kr, (R, P, M, K), dtype=dtype)
+            / rates_r[:, None, None, None].astype(dtype)
+        )
+    out = dict(twist_pool_l=pool_l, twist_pool_r=pool_r)
+    A = model.A
+    size = 2 * R * P * M * K * A * A * jnp.dtype(dtype).itemsize
+    if twist.presample_expm and size <= twist.presample_budget_mb * 2**20:
+        P_all = model.transition(
+            params["model"], jnp.stack([pool_l, pool_r])
+        ).astype(dtype)                        # (2, R, P, M, K, A, A)
+        out.update(twist_P_l=P_all[0], twist_P_r=P_all[1])
+    return out
+
+
 def twisted_extend(key, config, model, params, stationary, leaves,
                    slot, leaf_counts, row_of_node, internal_msgs,
                    internal_logscale, r, n_active, rate_l, rate_r, dec,
                    site_weights=None, root_ll=None):
     """Twisted proposal for one rank.
 
-    Returns (p1, p2, b_l, b_r, q_pen) where q_pen is the log proposal
-    probability of the chosen (pair, subsample) under the normalized
-    potentials (subtracted from the log weight, vncsmc.py:489-491).
+    Returns (p1, p2, b_l, b_r, P_l, P_r, q_pen): the chosen pair
+    positions, branch lengths, their transition matrices (None when the
+    pool expm was not presampled -- the sweep then computes them), and
+    the log proposal probability of the chosen (pair, subsample) under
+    the normalized potentials (subtracted from the log weight,
+    vncsmc.py:489-491).
+
+    dec carries this rank's slice of the precomputed xs
+    (precompute_twist_xs): twist_pool_l/r (P, M, K) always, and
+    twist_P_l/r (P, M, K, A, A) when presampled.
     """
     from phylo_tpu.smc.sweep import _node_lookup
 
@@ -81,44 +178,48 @@ def twisted_extend(key, config, model, params, stationary, leaves,
     P = pairs.shape[0]
     valid = pairs[:, 1] < n_active                     # (P,)
 
-    k_pool_l, k_pool_r, k_choice = jax.random.split(key, 3)
-    if dec and "twist_pool_l" in dec:
-        pool_l = dec["twist_pool_l"].astype(dtype)
-        pool_r = dec["twist_pool_r"].astype(dtype)
-    else:
-        pool_l = (
-            jax.random.exponential(k_pool_l, (P, M, K), dtype=dtype)
-            / rate_l
-        )
-        pool_r = (
-            jax.random.exponential(k_pool_r, (P, M, K), dtype=dtype)
-            / rate_r
-        )
+    pool_l = dec["twist_pool_l"].astype(dtype)         # (P, M, K)
+    pool_r = dec["twist_pool_r"].astype(dtype)
+    have_P = "twist_P_l" in dec
 
     # Chunk the pair axis for memory, processing each chunk as ONE flat
-    # (chunk*K)-particle batch through the fused look-ahead kernel (no
-    # vmap -- vmapping pallas_call explodes the program count).  The
-    # left/right posteriors come FREE from the carried per-root tables:
+    # (chunk*K)-particle batch.  The left/right posteriors come FREE
+    # from the carried per-root tables:
     # ll_scaled(pos) = root_ll(pos) - node_logscale(node at pos), so no
     # per-pair site reductions are needed for them at all (the reference
     # recomputes both on tiled M*K batches, vncsmc.py:363-365).
-    C = min(twist.pair_chunk, P)
+    C = twist.resolve_chunk(P, M, K, S, jnp.dtype(dtype).itemsize)
     P_pad = -(-P // C) * C
     pad_p = P_pad - P
+    n_chunks = P_pad // C
     pairs_pad = jnp.concatenate(
         [pairs, jnp.zeros((pad_p, 2), jnp.int32)]
-    ).reshape(P_pad // C, C, 2)
+    ).reshape(n_chunks, C, 2)
     pool_l_pad = jnp.concatenate(
         [pool_l, jnp.ones((pad_p, M, K), dtype)]
-    ).reshape(P_pad // C, C, M, K)
+    ).reshape(n_chunks, C, M, K)
     pool_r_pad = jnp.concatenate(
         [pool_r, jnp.ones((pad_p, M, K), dtype)]
-    ).reshape(P_pad // C, C, M, K)
+    ).reshape(n_chunks, C, M, K)
+    xs_chunks = (pairs_pad, pool_l_pad, pool_r_pad)
+    if have_P:
+        pool_P_l = dec["twist_P_l"].astype(dtype)      # (P, M, K, A, A)
+        pool_P_r = dec["twist_P_r"].astype(dtype)
+        pad_P = jnp.ones((pad_p, M, K, A, A), dtype)
+        xs_chunks = xs_chunks + (
+            jnp.concatenate([pool_P_l, pad_P]).reshape(
+                n_chunks, C, M, K, A, A),
+            jnp.concatenate([pool_P_r, pad_P]).reshape(
+                n_chunks, C, M, K, A, A),
+        )
 
     root_ll_tbl = root_ll
 
     def chunk_potentials(xs):
-        pc, bl, br = xs          # (C, 2), (C, M, K), (C, M, K)
+        if have_P:
+            pc, bl, br, cP_l, cP_r = xs
+        else:
+            pc, bl, br = xs      # (C, 2), (C, M, K), (C, M, K)
         pos = pc.T               # (2, C)
         nodes = jnp.take(slot, pos.reshape(-1), axis=1)  # (K, 2C)
         msgs, lscs = _node_lookup(
@@ -132,31 +233,39 @@ def twisted_extend(key, config, model, params, stationary, leaves,
         m_r = jnp.transpose(msgs[:, 1], (1, 0, 2, 3)).reshape(
             C * K, A, S)
 
-        P_lr = model.transition(
-            params["model"], jnp.concatenate([bl, br])
-        ).astype(dtype)          # (2C, M, K, A, A)
-        P_l = jnp.transpose(P_lr[:C], (1, 0, 2, 3, 4)).reshape(
-            M, C * K, A, A)
-        P_r = jnp.transpose(P_lr[C:], (1, 0, 2, 3, 4)).reshape(
-            M, C * K, A, A)
-        # merge log-liks over the flat (C K) batch; explicit multiply-
-        # adds stay in one XLA fusion (a Pallas variant measured slower
-        # at these tile sizes -- see pruning.kernels.fused_pair_loglik)
-        site_lik = None
-        for b in range(A):
-            u_b = None
-            v_b = None
-            for a in range(A):
-                tu = m_l[None, :, a, :] * P_l[:, :, a, b, None]
-                tv = m_r[None, :, a, :] * P_r[:, :, a, b, None]
-                u_b = tu if u_b is None else u_b + tu
-                v_b = tv if v_b is None else v_b + tv
-            term = (u_b * v_b) * stationary[b]
-            site_lik = term if site_lik is None else site_lik + term
-        log_site = jnp.log(site_lik)                    # (M, C*K, S)
-        if site_weights is not None:
-            log_site = log_site * site_weights
-        ll_m = jnp.sum(log_site, axis=-1).reshape(M, C, K)
+        if have_P:
+            P_l = jnp.transpose(cP_l, (1, 0, 2, 3, 4)).reshape(
+                M, C * K, A, A)
+            P_r = jnp.transpose(cP_r, (1, 0, 2, 3, 4)).reshape(
+                M, C * K, A, A)
+        else:
+            P_lr = model.transition(
+                params["model"], jnp.concatenate([bl, br])
+            ).astype(dtype)      # (2C, M, K, A, A)
+            P_l = jnp.transpose(P_lr[:C], (1, 0, 2, 3, 4)).reshape(
+                M, C * K, A, A)
+            P_r = jnp.transpose(P_lr[C:], (1, 0, 2, 3, 4)).reshape(
+                M, C * K, A, A)
+        # merge log-liks over the flat (C K) batch
+        w_vec = (site_weights if site_weights is not None
+                 else jnp.ones((S,), dtype))
+        if twist.use_pallas_ll and jax.default_backend() == "tpu":
+            # all-Pallas variant: forward kernel too (measured slower
+            # than the XLA forward fusion; kept for tile experiments)
+            from phylo_tpu.pruning.kernels import fused_pair_loglik
+
+            ll_m = fused_pair_loglik(
+                m_l, m_r, P_l, P_r, stationary, w_vec
+            ).reshape(M, C, K)
+        else:
+            # XLA-fused forward + streaming Pallas backward (the
+            # XLA-derived reverse pass re-read the (M, CK, S) tensors
+            # ~55x; see pruning.kernels.pair_loglik)
+            from phylo_tpu.pruning.kernels import pair_loglik
+
+            ll_m = pair_loglik(
+                m_l, m_r, P_l, P_r, stationary, w_vec
+            ).reshape(M, C, K)
 
         # scaled-message posteriors of the children, from carried state
         rll = jnp.take(root_ll_tbl, pos.reshape(-1), axis=1)  # (K, 2C)
@@ -177,9 +286,14 @@ def twisted_extend(key, config, model, params, stationary, leaves,
         )                                                # (M, C, K)
         return jnp.transpose(pot, (1, 0, 2))             # (C, M, K)
 
-    pots = lax.map(
-        chunk_potentials, (pairs_pad, pool_l_pad, pool_r_pad)
-    ).reshape(P_pad, M, K)[:P]                           # (P, M, K)
+    chunk_fn = (jax.checkpoint(chunk_potentials) if twist.remat
+                else chunk_potentials)
+    if n_chunks == 1:
+        pots = chunk_fn(jax.tree.map(lambda x: x[0], xs_chunks))[:P]
+    else:
+        pots = lax.map(
+            chunk_fn, xs_chunks
+        ).reshape(P_pad, M, K)[:P]                       # (P, M, K)
 
     neg_inf = jnp.asarray(-jnp.inf, dtype=dtype)
     pots = jnp.where(valid[:, None, None], pots, neg_inf)
@@ -189,7 +303,7 @@ def twisted_extend(key, config, model, params, stationary, leaves,
     if dec and "twist_choice" in dec:
         idx = dec["twist_choice"]
     else:
-        idx = jax.random.categorical(k_choice, flat, axis=1)
+        idx = jax.random.categorical(key, flat, axis=1)
     q_pen = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
 
     pair_idx = idx // M
@@ -199,4 +313,9 @@ def twisted_extend(key, config, model, params, stationary, leaves,
     ks = jnp.arange(K)
     b_l = pool_l[pair_idx, m_idx, ks]
     b_r = pool_r[pair_idx, m_idx, ks]
-    return p1, p2, b_l, b_r, q_pen
+    if have_P:
+        P_l_chosen = pool_P_l[pair_idx, m_idx, ks]
+        P_r_chosen = pool_P_r[pair_idx, m_idx, ks]
+    else:
+        P_l_chosen = P_r_chosen = None
+    return p1, p2, b_l, b_r, P_l_chosen, P_r_chosen, q_pen

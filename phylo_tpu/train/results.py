@@ -79,6 +79,11 @@ def save_results(save_dir, config, dataset, history):
             )
         ),
         "epoch_seconds": history["epoch_seconds"],
+        # final-epoch merge records (TPU-native replacement for string
+        # jump chains): enough to rebuild every particle's tree
+        "ancestors": (history.get("ancestors") or [None])[-1],
+        "merged_nodes": (history.get("merged_nodes") or [None])[-1],
+        "taxa": list(dataset.taxa),
     }
     with open(os.path.join(save_dir, "results.p"), "wb") as f:
         pickle.dump(result, f)

@@ -216,6 +216,7 @@ def train(dataset, config: TrainConfig):
         "log_weights": [], "log_lik": [], "log_lik_R": [],
         "rates_l": [], "rates_r": [], "epoch_seconds": [],
         "newick_best": [], "jump_chain_evolution": [],
+        "ancestors": [], "merged_nodes": [],
     }
     if restored_history is not None:
         # keep pre-resume epochs so results.p indices match epoch numbers
@@ -264,6 +265,10 @@ def train(dataset, config: TrainConfig):
         history["rates_l"].append(np.asarray(rl))
         history["rates_r"].append(np.asarray(rr))
         history["epoch_seconds"].append(dt)
+        # int merge records: tiny, and they let results.p consumers
+        # reconstruct every particle's tree (cli.trees posterior summary)
+        history["ancestors"].append(np.asarray(res.ancestors))
+        history["merged_nodes"].append(np.asarray(res.merged_nodes))
 
         if config.collect_trees:
             from phylo_tpu.viz.trees import decode_genealogy, to_newick

@@ -159,6 +159,31 @@ def to_newick(taxa, record):
     return nwk(root) + ";"
 
 
+def to_nexus(taxa, records, probs=None, names=None):
+    """NEXUS TREES block (translate table + one TREE line per record).
+
+    records: decoded particle records (decode_genealogy output);
+    probs: optional per-record posterior probabilities annotated as
+    tree comments; names: optional tree names (default tree_<i>).
+    The reference emits no tree files at all -- its tree output is the
+    pickled string jump chain (vcsmc.py:622-642); Newick/NEXUS export is
+    a framework extension for downstream tools (FigTree, DendroPy).
+    """
+    lines = ["#NEXUS", "BEGIN TREES;", "    TRANSLATE"]
+    for i, t in enumerate(taxa):
+        sep = "," if i < len(taxa) - 1 else ";"
+        safe = t.replace(" ", "_")
+        lines.append(f"        {i + 1} {safe}{sep}")
+    idx_names = [str(i + 1) for i in range(len(taxa))]
+    for i, rec in enumerate(records):
+        name = names[i] if names else f"tree_{i + 1}"
+        comment = (f" [&W {probs[i]:.6g}]" if probs is not None else "")
+        nwk = to_newick(idx_names, rec)
+        lines.append(f"    TREE {name}{comment} = [&U] {nwk}")
+    lines.append("END;")
+    return "\n".join(lines) + "\n"
+
+
 def _topology_key(taxa, record):
     """Canonical frozenset-of-clades key identifying an unrooted-labeled
     topology (reference csmc.py:335-343 groups particles by their vertex

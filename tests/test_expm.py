@@ -95,3 +95,45 @@ def test_expm_gradient_flows():
     eps = 1e-6
     fd = (f(jnp.float64(0.5 + eps)) - f(jnp.float64(0.5 - eps))) / (2 * eps)
     np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=1e-5)
+
+
+def test_hky_structure_and_jc_reduction(rng):
+    import jax.numpy as jnp
+    import scipy.linalg
+
+    from phylo_tpu.models.substitution import HKY, get_model
+
+    m = HKY(A=4)
+    params = m.init_params(jnp.float64)
+    # kappa=1 + uniform pi reduces HKY to JC69 (normalized): off-diag
+    # equal, rows sum to zero, unit expected rate
+    q = np.asarray(m.Q(params))
+    np.testing.assert_allclose(q.sum(axis=1), 0.0, atol=1e-12)
+    off = q[~np.eye(4, dtype=bool)]
+    np.testing.assert_allclose(off, off[0])
+    pi = np.asarray(m.stationary(params))
+    np.testing.assert_allclose(-(pi * np.diag(q)).sum(), 1.0, rtol=1e-12)
+
+    # kappa>1 boosts exactly the A<->G and C<->T entries
+    params["log_kappa"] = jnp.asarray(np.log(4.0))
+    q2 = np.asarray(m.Q(params))
+    ratio = q2 * 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(np.eye(4, dtype=bool), np.nan, q2 / q2[0, 1])
+    assert ratio[0, 2] > ratio[0, 1] and ratio[1, 3] > ratio[1, 0]
+
+    # detailed balance: pi_i q_ij == pi_j q_ji (time reversibility)
+    params["y_station"] = jnp.asarray(rng.normal(0, 0.4, 4))
+    pi = np.asarray(m.stationary(params))
+    q3 = np.asarray(m.Q(params))
+    np.testing.assert_allclose(pi[:, None] * q3, (pi[:, None] * q3).T,
+                               atol=1e-12)
+    # stationarity under the matrix exponential
+    P = scipy.linalg.expm(q3 * 0.7)
+    np.testing.assert_allclose(pi @ P, pi, atol=1e-12)
+    # transition() agrees with scipy
+    import jax
+
+    Pj = np.asarray(m.transition(params, jnp.float64(0.7)))
+    np.testing.assert_allclose(Pj, P, atol=1e-9)
+    assert isinstance(get_model("hky85"), HKY)

@@ -181,3 +181,11 @@ def test_gtr_sweep_grad_matches_finite_differences(tmp_path):
                 float(np.asarray(g[field])[i]), fd, rtol=2e-5, atol=1e-7,
                 err_msg=f"{field}[{i}]",
             )
+
+
+def test_train_hky_model(tmp_path):
+    ds = dataset_from_strings(STRINGS)
+    res = train(ds, small_config(tmp_path, substitution_model="hky",
+                                 num_epoch=2))
+    assert np.isfinite(res.elbo)
+    assert set(res.params["model"]) == {"log_kappa", "y_station"}

@@ -87,3 +87,40 @@ def test_jump_chain_evolution_hand_traced():
         ["go+or", "hu+ch"],
         ["go+or+hu+ch"],
     ]
+
+
+def test_to_nexus_format():
+    from phylo_tpu.viz.trees import decode_genealogy, to_nexus
+
+    ancestors, merged = _records()
+    gen = decode_genealogy(ancestors, merged)
+    out = to_nexus(TAXA, gen, probs=[0.7, 0.3])
+    assert out.startswith("#NEXUS")
+    assert "TRANSLATE" in out and out.rstrip().endswith("END;")
+    assert "        1 hu," in out and "        4 or;" in out
+    assert "TREE tree_1 [&W 0.7] = [&U] " in out
+    # trees reference translate indices, not names
+    tree_lines = [x for x in out.splitlines() if x.startswith("    TREE")]
+    assert len(tree_lines) == 2
+    assert "hu" not in tree_lines[0]
+
+
+def test_trees_cli_summarizes_posterior(tmp_path):
+    import json
+
+    from phylo_tpu.cli import runner as run_cli
+    from phylo_tpu.cli.trees import main as trees_main
+
+    res = run_cli.main([
+        "--dataset=load_strings", "--n_particles=8", "--num_epoch=2",
+        "--batch_size=5", f"--results_dir={tmp_path}",
+    ])
+    summary = trees_main([res.save_dir, "--top", "3"])
+    assert summary["topologies"]
+    total = sum(t["probability"] for t in summary["topologies"])
+    assert 0 < total <= 1 + 1e-9
+    assert summary["topologies"][0]["newick"].endswith(";")
+    import os
+
+    assert os.path.exists(summary["nexus"])
+    json.dumps(summary)   # JSON-serializable
