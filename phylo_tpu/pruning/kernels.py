@@ -214,9 +214,225 @@ def _fwd(m1, m2, P_l, P_r, pi, weights):
     return out, (m1, m2, P_l, P_r, pi, weights)
 
 
+# Pallas backward for the merge op: measured SLOWER than XLA's own VJP
+# at primate/K=2048 (fwd+bwd 42.8 ms vs 40.1; batch-256 step 16.6 vs
+# 14.8, tools/perf_probe.py round 2) -- unlike the twist op, XLA fuses
+# this reverse chain well, so the default stays on the jnp VJP.  The
+# kernel is kept (with interpret-mode CI parity incl. max-tie routing)
+# for future tile-shape work; flip MERGE_BWD_KERNEL to re-measure.
+MERGE_BWD_KERNEL = False
+
+
 def _bwd(residuals, cotangents):
+    if MERGE_BWD_KERNEL and (jax.default_backend() == "tpu" or INTERPRET):
+        return _merge_bwd_pallas(*residuals, *cotangents)
     _, vjp = jax.vjp(_ref_impl, *residuals)
     return vjp(cotangents)
+
+
+def _kernel_merge_bwd(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
+                      gm_ref, gr_ref, gl_ref,
+                      dm1_ref, dm2_ref, dpl_ref, dpr_ref, dpi_ref,
+                      *, A, n_js):
+    """Streaming backward of _ref_impl (merge + rootll + logscale).
+
+    Replicates jax.vjp(_ref_impl) exactly, including reduce_max's
+    split-among-ties cotangent routing and the maximum(raw, tiny)
+    half-split at equality.  One pass per (particle-tile, site-tile):
+    the XLA-derived reverse chain cost ~7.6 ms/run of scattered
+    reduce/mul passes at primate K=2048 (xprof round 2).
+    """
+    from jax.experimental import pallas as pl
+
+    ik = pl.program_id(0)
+    js = pl.program_id(1)
+    w = w_ref[:]                                        # (1, TS)
+    dtype = w.dtype
+
+    pl_c = [pl_ref[:, c][:, None] for c in range(A * A)]
+    pr_c = [pr_ref[:, c][:, None] for c in range(A * A)]
+
+    u = []
+    v = []
+    wp = []
+    site = None
+    for b in range(A):
+        u_b = None
+        v_b = None
+        for a in range(A):
+            tu = m1_ref[:, a, :] * pl_c[a * A + b]
+            tv = m2_ref[:, a, :] * pr_c[a * A + b]
+            u_b = tu if u_b is None else u_b + tu
+            v_b = tv if v_b is None else v_b + tv
+        u.append(u_b)
+        v.append(v_b)
+        wp.append(u_b * v_b)
+        term = wp[b] * pi_ref[0, b]
+        site = term if site is None else site + term
+
+    raw = wp[0]
+    for b in range(1, A):
+        raw = jnp.maximum(raw, wp[b])
+    tiny = jnp.finfo(dtype).tiny
+    scale = jnp.maximum(raw, tiny)
+
+    gr = gr_ref[:]                                      # (TK, 1)
+    gl = gl_ref[:]
+    dsite = (gr * w) / site                             # (TK, TS)
+    dscale = (gl * w) / scale
+    inv_scale = 1.0 / scale
+    for b in range(A):
+        dscale = dscale - gm_ref[:, b, :] * (
+            wp[b] * inv_scale * inv_scale
+        )
+    draw = dscale * (
+        (raw > tiny).astype(dtype) + 0.5 * (raw == tiny).astype(dtype)
+    )
+    neq = None
+    eqs = []
+    for b in range(A):
+        eq = (wp[b] == raw).astype(dtype)
+        eqs.append(eq)
+        neq = eq if neq is None else neq + eq
+
+    @pl.when(js == 0)
+    def _():
+        dpl_ref[:] = jnp.zeros_like(dpl_ref)
+        dpr_ref[:] = jnp.zeros_like(dpr_ref)
+
+    dm1 = [None] * A
+    dm2 = [None] * A
+    cols_l = [None] * (A * A)
+    cols_r = [None] * (A * A)
+    dpi = []
+    for b in range(A):
+        dwp_b = (
+            gm_ref[:, b, :] * inv_scale
+            + dsite * pi_ref[0, b]
+            + draw * (eqs[b] / neq)
+        )
+        du_b = dwp_b * v[b]
+        dv_b = dwp_b * u[b]
+        for a in range(A):
+            t1 = du_b * pl_c[a * A + b]
+            t2 = dv_b * pr_c[a * A + b]
+            dm1[a] = t1 if dm1[a] is None else dm1[a] + t1
+            dm2[a] = t2 if dm2[a] is None else dm2[a] + t2
+            cols_l[a * A + b] = jnp.sum(
+                du_b * m1_ref[:, a, :], axis=-1
+            )
+            cols_r[a * A + b] = jnp.sum(
+                dv_b * m2_ref[:, a, :], axis=-1
+            )
+        dpi.append(jnp.sum(dsite * wp[b]))
+    for a in range(A):
+        dm1_ref[:, a, :] = dm1[a]
+        dm2_ref[:, a, :] = dm2[a]
+    dpl_ref[:] += jnp.stack(cols_l, axis=-1)            # (TK, A*A)
+    dpr_ref[:] += jnp.stack(cols_r, axis=-1)
+    dpi_ref[:] = jnp.stack(dpi)[None, None, :]          # (1, 1, A)
+
+
+def _merge_dw_ref(m1, m2, P_l, P_r, pi, gr, gl):
+    """dll/dweights for the merge op (jnp; dead-code-eliminated whenever
+    the weights cotangent is unused, which is always in training)."""
+    u = jnp.sum(m1[:, :, None, :] * P_l[:, :, :, None], axis=1)
+    v = jnp.sum(m2[:, :, None, :] * P_r[:, :, :, None], axis=1)
+    w = u * v
+    scale = jnp.maximum(jnp.max(w, axis=-2), jnp.finfo(w.dtype).tiny)
+    site = jnp.sum(w * pi[None, :, None], axis=1)
+    return jnp.sum(
+        gr[:, None] * jnp.log(site) + gl[:, None] * jnp.log(scale),
+        axis=0,
+    )
+
+
+def _merge_bwd_pallas(m1, m2, P_l, P_r, pi, weights, gm, gr, gl):
+    """Exact cotangents of _ref_impl in one streaming Pallas pass.
+
+    m1, m2: (K, A, S); P_l, P_r: (K, A, A); pi: (A,); weights: (S,);
+    gm: (K, A, S) merged-message cotangent; gr, gl: (K,) rootll /
+    logscale cotangents.  Returns (dm1, dm2, dP_l, dP_r, dpi, dw).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, A, S = m1.shape
+    dtype = m1.dtype
+    if K >= 128:
+        tk = 128
+        Kp = _round_up(K, tk)
+    else:
+        tk = Kp = _round_up(K, 8)
+    Sp = _round_up(S, TS)
+    ts = TS_MAX // 2
+    while ts > TS and Sp % ts:
+        ts -= TS
+    n_ik = Kp // tk
+    n_js = Sp // ts
+
+    pad_msg = ((0, Kp - K), (0, 0), (0, Sp - S))
+    m1k = jnp.pad(m1, pad_msg, constant_values=1.0)
+    m2k = jnp.pad(m2, pad_msg, constant_values=1.0)
+    pk_l = jnp.pad(P_l.reshape(K, A * A), ((0, Kp - K), (0, 0)),
+                   constant_values=1.0)
+    pk_r = jnp.pad(P_r.reshape(K, A * A), ((0, Kp - K), (0, 0)),
+                   constant_values=1.0)
+    wk = jnp.pad(weights[None], ((0, 0), (0, Sp - S)))
+    # zero cotangents on all padding -> padded contributions vanish
+    gmk = jnp.pad(gm, pad_msg)
+    grk = jnp.pad(gr[:, None], ((0, Kp - K), (0, 0)))
+    glk = jnp.pad(gl[:, None], ((0, Kp - K), (0, 0)))
+
+    msg_spec = pl.BlockSpec((tk, A, ts), lambda ik, js: (ik, 0, js),
+                            memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((tk, A * A), lambda ik, js: (ik, 0),
+                          memory_space=pltpu.VMEM)
+    kvec_spec = pl.BlockSpec((tk, 1), lambda ik, js: (ik, 0),
+                             memory_space=pltpu.VMEM)
+    dm1, dm2, dpl, dpr, dpi_part = pl.pallas_call(
+        functools.partial(_kernel_merge_bwd, A=A, n_js=n_js),
+        grid=(n_ik, n_js),
+        interpret=INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        in_specs=[
+            msg_spec, msg_spec, p_spec, p_spec,
+            pl.BlockSpec((1, A), lambda ik, js: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), lambda ik, js: (0, js),
+                         memory_space=pltpu.VMEM),
+            msg_spec, kvec_spec, kvec_spec,
+        ],
+        out_specs=[
+            msg_spec, msg_spec,
+            # accumulated over the (innermost, consecutive) js steps
+            p_spec, p_spec,
+            # per-program write-once partials, summed below
+            pl.BlockSpec((1, 1, A), lambda ik, js: (ik * n_js + js, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Kp, A, Sp), dtype),
+            jax.ShapeDtypeStruct((Kp, A, Sp), dtype),
+            jax.ShapeDtypeStruct((Kp, A * A), dtype),
+            jax.ShapeDtypeStruct((Kp, A * A), dtype),
+            jax.ShapeDtypeStruct((n_ik * n_js, 1, A), dtype),
+        ],
+    )(m1k, m2k, pk_l, pk_r, pi[None], wk, gmk, grk, glk)
+
+    dpi = dpi_part.sum(axis=(0, 1))
+    dw = _merge_dw_ref(m1, m2, P_l, P_r, pi, gr, gl)
+    return (
+        dm1[:K, :, :S],
+        dm2[:K, :, :S],
+        dpl[:K].reshape(K, A, A),
+        dpr[:K].reshape(K, A, A),
+        dpi,
+        dw,
+    )
 
 
 fused_merge_loglik.defvjp(_fwd, _bwd)

@@ -126,6 +126,11 @@ class SweepConfig:
     replicate_leaves: bool = True
     ess_threshold: Optional[float] = None
     carried_weights: bool = False
+    # lax.scan unroll factor for the rank loop; 0 = fully unroll (the
+    # whole sweep becomes straight-line code -- XLA can then alias the
+    # message buffer and its cotangent in place instead of copying scan
+    # carries every iteration)
+    unroll: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -600,7 +605,8 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         )
     xs = (ranks, xs_dec)
     step_fn = jax.checkpoint(step) if config.remat else step
-    final, outs = lax.scan(step_fn, init, xs)
+    unroll = config.unroll if config.unroll > 0 else n_ranks
+    final, outs = lax.scan(step_fn, init, xs, unroll=unroll)
 
     log_weights = outs["log_w"]
     log_likelihood = outs["log_ll"]

@@ -150,3 +150,91 @@ def test_pair_loglik_custom_vjp_dispatch(interpret_mode, rng):
     g_r = jax.grad(loss_r)(args[0])
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
                                rtol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "K,S,A",
+    [(5, 33, 4), (64, 128, 4), (70, 130, 4), (8, 150, 7), (130, 70, 4)],
+)
+def test_merge_backward_kernel_matches_jnp_vjp(interpret_mode, rng, K, S,
+                                               A):
+    import jax
+    import jax.numpy as jnp
+
+    args = tuple(jnp.asarray(a) for a in _inputs(rng, K, S, A))
+    gm = jnp.asarray(rng.normal(0, 1.0, (K, A, S)))
+    gr = jnp.asarray(rng.normal(0, 1.0, (K,)))
+    gl = jnp.asarray(rng.normal(0, 1.0, (K,)))
+
+    got = kernels._merge_bwd_pallas(*args, gm, gr, gl)
+    _, vjp = jax.vjp(kernels._ref_impl, *args)
+    want = vjp((gm, gr, gl))
+    for n, a, b in zip(["dm1", "dm2", "dP_l", "dP_r", "dpi", "dw"], got,
+                       want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12,
+            err_msg=n,
+        )
+
+
+def test_merge_backward_kernel_handles_max_ties(interpret_mode, rng):
+    # Engineered exact ties in the per-site rescale max: identical P
+    # columns + uniform pi make every w_plane equal, so reduce_max's
+    # split-among-ties cotangent routing is exercised for real.
+    import jax
+    import jax.numpy as jnp
+
+    K, S, A = 6, 40, 4
+    m1 = jnp.asarray(rng.uniform(0.05, 1.0, (K, A, S)))
+    m2 = jnp.asarray(rng.uniform(0.05, 1.0, (K, A, S)))
+    col = rng.uniform(0.05, 1.0, (K, A, 1))
+    P_l = jnp.asarray(np.broadcast_to(col, (K, A, A)))
+    P_r = jnp.asarray(np.broadcast_to(col, (K, A, A)))
+    pi = jnp.full((A,), 1.0 / A)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, (S,)))
+    gm = jnp.asarray(rng.normal(0, 1.0, (K, A, S)))
+    gr = jnp.asarray(rng.normal(0, 1.0, (K,)))
+    gl = jnp.asarray(rng.normal(0, 1.0, (K,)))
+
+    got = kernels._merge_bwd_pallas(m1, m2, P_l, P_r, pi, w, gm, gr, gl)
+    _, vjp = jax.vjp(kernels._ref_impl, m1, m2, P_l, P_r, pi, w)
+    want = vjp((gm, gr, gl))
+    for n, a, b in zip(["dm1", "dm2", "dP_l", "dP_r", "dpi", "dw"], got,
+                       want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12,
+            err_msg=n,
+        )
+
+
+def test_fused_merge_custom_vjp_dispatches_to_kernel(interpret_mode, rng):
+    import jax
+    import jax.numpy as jnp
+
+    kernels.MERGE_BWD_KERNEL = True
+    try:
+        _run_merge_vjp_dispatch(jax, jnp, rng)
+    finally:
+        kernels.MERGE_BWD_KERNEL = False
+
+
+def _run_merge_vjp_dispatch(jax, jnp, rng):
+    args = tuple(jnp.asarray(a) for a in _inputs(rng, 6, 50, 4))
+
+    def loss_k(m1, pi):
+        merged, rootll, lsc = kernels.fused_merge_loglik(
+            m1, args[1], args[2], args[3], pi, args[5]
+        )
+        return jnp.sum(merged ** 2) + jnp.sum(rootll) + jnp.sum(lsc)
+
+    def loss_r(m1, pi):
+        merged, rootll, lsc = kernels._ref_impl(
+            m1, args[1], args[2], args[3], pi, args[5]
+        )
+        return jnp.sum(merged ** 2) + jnp.sum(rootll) + jnp.sum(lsc)
+
+    g_k = jax.grad(loss_k, argnums=(0, 1))(args[0], args[4])
+    g_r = jax.grad(loss_r, argnums=(0, 1))(args[0], args[4])
+    for a, b in zip(g_k, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9)
