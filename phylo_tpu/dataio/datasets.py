@@ -21,7 +21,23 @@ import numpy as np
 
 from phylo_tpu.dataio.alphabets import DNA_ALPHABET, encode_strings
 
-DEFAULT_DATA_ROOT = os.environ.get("PHYLO_TPU_DATA", "/root/reference/data")
+def _default_data_root():
+    """Dataset search order: $PHYLO_TPU_DATA, a repo-local data/ vendored
+    by tools/vendor_data.py, then the reference checkout on this box.
+    The repo ships no alignment blobs itself; vendor or point the env
+    var at a data directory for a standalone deployment."""
+    env = os.environ.get("PHYLO_TPU_DATA")
+    if env:
+        return env
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    local = os.path.join(here, "data")
+    if os.path.isdir(local):
+        return local
+    return "/root/reference/data"
+
+
+DEFAULT_DATA_ROOT = _default_data_root()
 
 REFERENCE_STRINGS = ["ACTTTGAGAG", "ACTTTGACAG", "ACTTTGACTG", "ACTTTGACTC"]
 

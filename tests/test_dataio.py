@@ -90,3 +90,30 @@ def test_reference_gap_chars_reject_n():
     np.testing.assert_allclose(enc[0, 2], 1.0)
     with pytest.raises(ValueError, match="not in alphabet"):
         encode_strings(["ACNT"], gap_chars=REFERENCE_GAP_CHARS)
+
+
+def test_vendor_data_and_env_override(tmp_path, monkeypatch):
+    # vendor into a temp dir, then point PHYLO_TPU_DATA at it and load
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import vendor_data
+    finally:
+        sys.path.pop(0)
+
+    copied, missing = vendor_data.vendor("/root/reference/data",
+                                         str(tmp_path))
+    assert "primate.p" in copied
+
+    monkeypatch.setenv("PHYLO_TPU_DATA", str(tmp_path))
+    import phylo_tpu.dataio.datasets as dsmod
+
+    importlib.reload(dsmod)
+    try:
+        ds = dsmod.load_dataset("primate")
+        assert ds.N == 12 and ds.S == 898
+    finally:
+        monkeypatch.delenv("PHYLO_TPU_DATA")
+        importlib.reload(dsmod)
