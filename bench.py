@@ -182,9 +182,34 @@ def measure_details():
     #    reference repo), reference autorun scale K=32 M=10
     fwd_time(
         "betacorona1", ReferenceQ, 32,
-        sweep_kwargs=dict(twist=TwistConfig(M=10, pair_chunk=8)),
+        sweep_kwargs=dict(twist=TwistConfig(M=10)),
         iters=3, label="vncsmc_betacorona",
     )
+    # 4b. full VNCSMC training step (fwd+grad) on betacorona -- was an
+    #     instant 143 GB OOM before the round-2 twist backward rework
+    def step_time(ds_name, K, sweep_kwargs, iters, label):
+        ds = load_dataset(ds_name)
+        model = ReferenceQ(A=ds.A)
+        params = {
+            "model": model.init_params(jnp.float32),
+            "branches": init_branch_params(ds.N, dtype=jnp.float32),
+        }
+        leaves = jnp.asarray(ds.genome, dtype=jnp.float32)
+        cfg = SweepConfig(K=K, **(sweep_kwargs or {}))
+
+        def loss(p, key):
+            return -sample_phylogenies(key, leaves, model, p, cfg).elbo
+
+        fn = jax.jit(jax.value_and_grad(loss))
+        t, (v, _) = timed(fn, params, jax.random.PRNGKey(0), iters=iters)
+        out[label] = {
+            "config": f"{ds_name} K={K} full-S fwd+grad",
+            "train_step_ms": round(t * 1000, 3),
+            "elbo": -float(v),
+        }
+
+    step_time("betacorona1", 32, dict(twist=TwistConfig(M=10)), 3,
+              "vncsmc_betacorona_step")
     # 5. Hohna DS1 at K=2048 (site sharding validated on the virtual
     #    mesh; single chip here)
     fwd_time("hohna_data_1", ReferenceQ, 2048, iters=5, label="ds1_2048")
@@ -195,7 +220,7 @@ def measure_details():
     ds = load_dataset("primate")
     per_epoch, _, elbo = measure_tpu(
         ds.genome, 32, 256, 3,
-        sweep_kwargs=dict(twist=TwistConfig(M=10, pair_chunk=8)),
+        sweep_kwargs=dict(twist=TwistConfig(M=10)),
     )
     baseline = _twist_baseline(ds.genome, 32, 10, 256)
     out["vncsmc_primate_epoch"] = {

@@ -51,6 +51,10 @@ def parse_args(argv=None):
                    help="substitution model; overrides --jcmodel "
                    "(default: reference learned-Q, or jc69 when "
                    "--jcmodel=true)")
+    p.add_argument("--gamma_categories", type=int, default=0,
+                   help="discrete-Gamma rate heterogeneity across "
+                   "sites with this many categories (learnable alpha); "
+                   "0 = off")
     p.add_argument("--memory_optimization", default="on",
                    help="accepted for reference compatibility; XLA manages "
                    "memory (the reference toggles TF grappler rewriting)")
@@ -146,6 +150,7 @@ def main(argv=None):
         nested=args.nested,
         jcmodel=args.jcmodel,
         substitution_model=args.model,
+        gamma_categories=args.gamma_categories,
         resampling=args.resampling,
         ess_threshold=args.ess_threshold,
         carried_weights=args.carried_weights,

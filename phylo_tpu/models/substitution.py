@@ -184,6 +184,106 @@ class HKY(_Model):
         return expm_ctmc(self.Q(params), b)
 
 
+def discrete_gamma_rates(alpha, G, newton_iters=25):
+    """Mean-of-bin discrete Gamma(alpha, alpha) category rates
+    (Yang 1994), differentiable in alpha.
+
+    The G quantile boundaries solve gammainc(alpha, y) = g/G; solved by
+    Newton iterations (Wilson-Hilferty start), which unroll into plain
+    jnp ops so d rates / d alpha flows.  Bin means use the identity
+    E[X; X in bin] = gammainc(alpha+1, .) differences for
+    X ~ Gamma(alpha, rate=alpha).  mean_g r_g == 1 exactly.
+    """
+    import jax
+
+    alpha = jnp.asarray(alpha)
+    dtype = alpha.dtype
+    if G == 1:
+        return jnp.ones((1,), dtype)
+    p = jnp.arange(1, G, dtype=dtype) / G
+    # Wilson-Hilferty initial guess for the Gamma(alpha, 1) quantile
+    z = jax.scipy.special.ndtri(p)
+    c = 1.0 - 1.0 / (9.0 * alpha) + z * jnp.sqrt(1.0 / (9.0 * alpha))
+    y = alpha * jnp.maximum(c, 1e-3) ** 3
+
+    def newton(y, _):
+        f = jax.scipy.special.gammainc(alpha, y) - p
+        log_pdf = (
+            (alpha - 1.0) * jnp.log(y) - y
+            - jax.scipy.special.gammaln(alpha)
+        )
+        y = jnp.clip(y - f * jnp.exp(-log_pdf), 1e-12, None)
+        return y, None
+
+    y, _ = jax.lax.scan(newton, y, None, length=newton_iters)
+    # bin masses of Gamma(alpha + 1, 1) at the same boundaries
+    q1 = jnp.concatenate([
+        jnp.zeros((1,), dtype),
+        jax.scipy.special.gammainc(alpha + 1.0, y),
+        jnp.ones((1,), dtype),
+    ])
+    return G * jnp.diff(q1)
+
+
+class GammaSites(_Model):
+    """Discrete-Gamma rate heterogeneity across sites (Yang 1994) as a
+    PRODUCT-SPACE substitution model.
+
+    The rate category is a hidden variable shared along the whole tree,
+    so it rides the state space: A' = G*A with
+    Q' = blockdiag(r_g(alpha) * Q_base) and pi' = (1/G) (1_G x pi).
+    Felsenstein pruning over A' then computes the exact Gamma-mixture
+    likelihood L_s = (1/G) sum_g L_s^(g) with NO changes to the SMC
+    sweep, rescaling, or sharding: categories never mix along branches
+    and are marginalized at the root by pi'.  alpha is learnable
+    (params['log_alpha']) through a differentiable Newton inverse of the
+    regularized incomplete gamma (discrete_gamma_rates).
+
+    Costs G x memory and up to G x flops versus a category-batched
+    formulation (the dense A'xA' transition is 3/4 zeros at G=4) -- the
+    exactness/zero-surgery tradeoff is documented in ROADMAP.md.  The
+    reference has no rate heterogeneity at all.
+    """
+
+    def __init__(self, base, G=4):
+        self.base = get_model(base) if isinstance(base, str) else base
+        self.G = int(G)
+        self.A = self.base.A * self.G
+
+    def init_params(self, dtype=jnp.float32):
+        return {
+            "base": self.base.init_params(dtype),
+            "log_alpha": jnp.zeros((), dtype=dtype),
+        }
+
+    def rates(self, params):
+        return discrete_gamma_rates(
+            jnp.exp(params["log_alpha"]), self.G
+        )
+
+    def Q(self, params):
+        r = self.rates(params)
+        qb = self.base.Q(params["base"]).astype(r.dtype)
+        return jnp.kron(jnp.diag(r), qb)
+
+    def stationary(self, params):
+        pib = self.base.stationary(params["base"])
+        return jnp.kron(
+            jnp.full((self.G,), 1.0 / self.G, dtype=pib.dtype), pib
+        )
+
+    def transition(self, params, b):
+        return expm_ctmc(self.Q(params), b)
+
+    def expand_leaves(self, genome):
+        """(N, S, A) one-hot/ambiguous codes -> (N, S, G*A): the
+        observation is category-independent, so each category block
+        repeats the base code (gap all-ones rows stay all-ones)."""
+        import numpy as _np
+
+        return _np.tile(_np.asarray(genome), (1, 1, self.G))
+
+
 class FixedQ(_Model):
     """A fixed, user-supplied rate matrix with uniform (or supplied)
     stationary probabilities -- the non-variational CSMC oracle's setup

@@ -256,6 +256,9 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     use_pallas = (
         config.use_pallas and config.rescale
         and jax.default_backend() == "tpu"
+        # the kernel unrolls A^2; product-space alphabets (GammaSites
+        # A' = G*A) blow the Mosaic unroll budget -- use the jnp path
+        and A <= 8
     )
     if use_pallas:
         # pre-pad the site axis to the kernel tile so the per-rank pad

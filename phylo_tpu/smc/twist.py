@@ -93,7 +93,14 @@ class TwistConfig:
             per_pair = max(1, M * K * S * itemsize)
             if P * per_pair <= 3 * self.chunk_budget_mb * 2**20:
                 return P
-            C = int((self.chunk_budget_mb * 2**20) // per_pair)
+            C = max(1, int((self.chunk_budget_mb * 2**20) // per_pair))
+            # prefer a divisor of P just above the budget target: an
+            # evenly-split pair axis avoids a padded tail chunk
+            # (betacorona P=136: C=8 measured 94 ms fwd vs 146 ms at
+            # the non-divisor C=7)
+            for cand in range(C, min(2 * C, P) + 1):
+                if P % cand == 0:
+                    return cand
         return max(1, min(C, P))
 
 

@@ -44,8 +44,12 @@ class TrainConfig:
     # substitution model name (models.substitution.get_model); None
     # keeps the reference selection: jc69 when jcmodel else the
     # reference's learned-Q parameterization.  'gtr' trains textbook
-    # GTR (exchangeabilities x stationary).
+    # GTR (exchangeabilities x stationary), 'hky' HKY85.
     substitution_model: Optional[str] = None
+    # discrete-Gamma rate heterogeneity across sites (Yang 1994): wrap
+    # the substitution model in GammaSites with this many categories
+    # (learnable alpha).  0/1 = off (the reference has none).
+    gamma_categories: int = 0
     resampling: str = "multinomial"
     dtype: str = "float32"
     seed: int = 0
@@ -122,6 +126,10 @@ def init_params(dataset, config):
         "jc69" if config.jcmodel else "reference"
     )
     model = get_model(name, A=dataset.A)
+    if config.gamma_categories and config.gamma_categories > 1:
+        from phylo_tpu.models.substitution import GammaSites
+
+        model = GammaSites(model, G=config.gamma_categories)
     params = {
         "model": model.init_params(dtype),
         "branches": init_branch_params(
@@ -138,7 +146,10 @@ def train(dataset, config: TrainConfig):
     sweep_cfg = _sweep_config(config, dataset.N)
     tx = _optimizer(config)
 
-    leaves = jnp.asarray(dataset.genome, dtype=dtype)
+    genome = dataset.genome
+    if hasattr(model, "expand_leaves"):
+        genome = model.expand_leaves(genome)   # GammaSites: A -> G*A
+    leaves = jnp.asarray(genome, dtype=dtype)
     S = dataset.S
 
     shardings = None
@@ -148,7 +159,7 @@ def train(dataset, config: TrainConfig):
 
         mesh = make_mesh(tuple(config.mesh_shape))
         shardings = sweep_sharding(mesh)
-        padded, w = pad_sites(dataset.genome, shardings.site_multiple())
+        padded, w = pad_sites(genome, shardings.site_multiple())
         leaves = jax.device_put(
             jnp.asarray(padded, dtype=dtype), shardings.leaves
         )
