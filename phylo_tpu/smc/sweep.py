@@ -131,6 +131,16 @@ class SweepConfig:
     # message buffer and its cotangent in place instead of copying scan
     # carries every iteration)
     unroll: int = 1
+    # manual whole-sweep VJP (smc.sweep_vjp): the reverse pass
+    # re-gathers children from the final write-once message buffer and
+    # carries only a compact (K, N-1, A, S) pending-cotangent buffer,
+    # instead of XLA's reverse scan dragging the full unified-buffer
+    # cotangent (ROADMAP item 1).  Applies when twist is None,
+    # decisions is None, rescale=True and remat=False; other configs
+    # fall back to XLA AD.  Gradient semantics are identical (biased
+    # resampling gradient: indices constant, gathered values
+    # differentiable).
+    manual_vjp: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -158,6 +168,71 @@ def compute_log_zsmc(log_weights):
     )
 
 
+@jax.custom_vjp
+def _resample_tables(slot, leaf_counts, root_ll, row_of_node, prev_log_ll,
+                     idx):
+    """Ancestor-permute the five per-particle tables in ONE gather.
+
+    The float tables (f32) are bitcast to int32 and packed next to the
+    int tables so the whole permutation is a single row gather (five
+    separate gathers are latency-bound on TPU, ~100us each).  Plain
+    ``bitcast_convert_type`` silently ZEROES gradients, so this op
+    carries a custom VJP routing the float cotangents through the
+    gather transpose (scatter-add by ``idx``) -- the reference's TF
+    autodiff flows gradients through the resampling gathers (indices
+    treated as constants), and so must we.
+    """
+    return _resample_tables_impl(slot, leaf_counts, root_ll, row_of_node,
+                                 prev_log_ll, idx)
+
+
+def _resample_tables_impl(slot, leaf_counts, root_ll, row_of_node,
+                          prev_log_ll, idx):
+    if root_ll.dtype != jnp.float32:
+        return (slot[idx], leaf_counts[idx], root_ll[idx],
+                row_of_node[idx], prev_log_ll[idx])
+    N = slot.shape[1]
+    n_ranks = row_of_node.shape[1]
+
+    def bits(x):
+        return lax.bitcast_convert_type(x, jnp.int32)
+
+    packed = jnp.concatenate(
+        [slot, leaf_counts, bits(root_ll), row_of_node,
+         bits(prev_log_ll)[:, None]],
+        axis=1,
+    )[idx]
+    return (
+        packed[:, :N],
+        packed[:, N:2 * N],
+        lax.bitcast_convert_type(packed[:, 2 * N:3 * N], jnp.float32),
+        packed[:, 3 * N:3 * N + n_ranks],
+        lax.bitcast_convert_type(packed[:, -1], jnp.float32),
+    )
+
+
+def _resample_tables_fwd(slot, leaf_counts, root_ll, row_of_node,
+                         prev_log_ll, idx):
+    out = _resample_tables_impl(slot, leaf_counts, root_ll, row_of_node,
+                                prev_log_ll, idx)
+    return out, (idx, slot.shape, row_of_node.shape)
+
+
+def _resample_tables_bwd(res, cts):
+    import numpy as np
+
+    idx, shape_n, shape_r = res
+    _, _, ct_root, _, ct_prev = cts
+    d_root = jnp.zeros(shape_n, ct_root.dtype).at[idx].add(ct_root)
+    d_prev = jnp.zeros(shape_n[:1], ct_prev.dtype).at[idx].add(ct_prev)
+    f0 = jax.dtypes.float0
+    return (np.zeros(shape_n, f0), np.zeros(shape_n, f0), d_root,
+            np.zeros(shape_r, f0), d_prev, np.zeros(shape_n[:1], f0))
+
+
+_resample_tables.defvjp(_resample_tables_fwd, _resample_tables_bwd)
+
+
 def _take_positions(arr, idx):
     """take_along_axis(arr, idx, axis=1) for (K, N) tables with small N,
     via mask-and-sum instead of an XLA gather: per-op gather latency on
@@ -175,7 +250,7 @@ def _take_positions(arr, idx):
 
 
 def _node_lookup(leaves, internal_msgs, internal_logscale, row_of_node,
-                 node_ids, unified=False):
+                 node_ids, unified=False, rows=None):
     """Fetch messages + log-scale totals for per-particle node ids.
 
     node_ids: (K,) or (K, P) ints in [0, 2N-2); ids < N are leaves,
@@ -187,6 +262,10 @@ def _node_lookup(leaves, internal_msgs, internal_logscale, row_of_node,
     unified: `internal_msgs` is the unified buffer (K, N + R, A, S) with
     leaf messages replicated in columns 0..N-1, so the message fetch is
     a single gather (no leaf/internal select).
+
+    rows: optionally the precomputed `_take_positions(row_of_node, q)`
+    resolution (callers that also need the row indices avoid computing
+    them twice).
     """
     N = leaves.shape[0]
     R = row_of_node.shape[1]
@@ -194,7 +273,8 @@ def _node_lookup(leaves, internal_msgs, internal_logscale, row_of_node,
     ids = node_ids[:, None] if squeeze else node_ids           # (K, P)
     is_leaf = ids < N
     q = jnp.clip(ids - N, 0, R - 1)                            # (K, P)
-    rows = _take_positions(row_of_node, q)                     # (K, P)
+    if rows is None:
+        rows = _take_positions(row_of_node, q)                 # (K, P)
     if unified:
         K = row_of_node.shape[0]
         own = jnp.arange(K, dtype=rows.dtype)[:, None]
@@ -220,6 +300,25 @@ def _compact_positions(arr, perm, merge_pos, new_value):
 
 def sample_phylogenies(key, leaves, model, params, config, *,
                        decisions=None, shardings=None, site_weights=None):
+    """Run one full CSMC sweep.  See `_sample_body` for the mechanics;
+    this wrapper routes eligible configs through the manual whole-sweep
+    VJP (smc.sweep_vjp), which replaces XLA's reverse-scan over the
+    O(K N A S) message-buffer cotangent with a compact hand-written
+    reverse pass (ROADMAP item 1)."""
+    if (config.manual_vjp and config.twist is None and decisions is None
+            and config.rescale and not config.remat):
+        from phylo_tpu.smc.sweep_vjp import sweep_manual_vjp
+
+        return sweep_manual_vjp(key, leaves, model, params, config,
+                                shardings, site_weights)
+    return _sample_body(key, leaves, model, params, config,
+                        decisions=decisions, shardings=shardings,
+                        site_weights=site_weights)
+
+
+def _sample_body(key, leaves, model, params, config, *,
+                 decisions=None, shardings=None, site_weights=None,
+                 injected=None, want_aux=False):
     """Run one full CSMC sweep.
 
     Parameters
@@ -297,22 +396,24 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     if config.twist is not None:
         from phylo_tpu.smc.twist import twisted_extend  # lazy import
 
-    if config.replicate_leaves:
-        # unified buffer: leaves replicated in columns 0..N-1, internal
-        # node q at column N+q -> child fetch is one gather, no select
-        internal_msgs0 = jnp.concatenate(
-            [
-                jnp.broadcast_to(leaves[None], (K, N, A, S)),
-                jnp.zeros((K, n_ranks, A, S), dtype=dtype),
-            ],
-            axis=1,
-        )
-    else:
-        internal_msgs0 = jnp.zeros((K, n_ranks, A, S), dtype=dtype)
-    if shardings is not None:
-        internal_msgs0 = lax.with_sharding_constraint(
-            internal_msgs0, shardings.core
-        )
+    if injected is None:
+        if config.replicate_leaves:
+            # unified buffer: leaves replicated in columns 0..N-1,
+            # internal node q at column N+q -> child fetch is one
+            # gather, no select
+            internal_msgs0 = jnp.concatenate(
+                [
+                    jnp.broadcast_to(leaves[None], (K, N, A, S)),
+                    jnp.zeros((K, n_ranks, A, S), dtype=dtype),
+                ],
+                axis=1,
+            )
+        else:
+            internal_msgs0 = jnp.zeros((K, n_ranks, A, S), dtype=dtype)
+        if shardings is not None:
+            internal_msgs0 = lax.with_sharding_constraint(
+                internal_msgs0, shardings.core
+            )
 
     init = dict(
         key=key,
@@ -320,7 +421,6 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         leaf_counts=jnp.ones((K, N), dtype=jnp.int32),
         root_ll=jnp.tile(leaf_ll[None].astype(dtype), (K, 1)),
         row_of_node=jnp.zeros((K, n_ranks), dtype=jnp.int32),
-        internal_msgs=internal_msgs0,
         internal_logscale=jnp.zeros((K, n_ranks), dtype=dtype),
         sum_bl=jnp.zeros((K,), dtype=dtype),
         sum_br=jnp.zeros((K,), dtype=dtype),
@@ -331,6 +431,8 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         branch_hist_l=jnp.zeros((n_ranks, K), dtype=dtype),
         branch_hist_r=jnp.zeros((n_ranks, K), dtype=dtype),
     )
+    if injected is None:
+        init["internal_msgs"] = internal_msgs0
 
     pos_idx = jnp.arange(N, dtype=jnp.int32)
 
@@ -349,20 +451,29 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         # weight only (valid because it resamples every rank).
         gate_lw = (state["acc_log_w"] if config.carried_weights
                    else state["prev_log_w"])
-        if decisions is not None:
-            sampled = dec["ancestors"]
+        if injected is not None:
+            # scalar replay (sweep_vjp backward): ancestor indices and
+            # the resample gate are injected verbatim from the forward
+            # run -- recomputing the gate from slightly-reassociated
+            # floats could flip a resample decision and corrupt grads
+            sampled = dec["inj_ancestors"]
+            do_resample = dec["inj_do_resample"]
         else:
-            sampled = resample_indices(k_res, gate_lw, config.resampling)
-        do_resample = r > 0
-        if config.carried_weights and config.resampling == "none":
-            do_resample = do_resample & False
-        if config.ess_threshold is not None:
-            # ESS = (sum w)^2 / sum w^2 on normalized weights
-            lw = gate_lw - jax.scipy.special.logsumexp(gate_lw)
-            ess = jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw))
-            do_resample = do_resample & (
-                ess < config.ess_threshold * K
-            )
+            if decisions is not None:
+                sampled = dec["ancestors"]
+            else:
+                sampled = resample_indices(k_res, gate_lw,
+                                           config.resampling)
+            do_resample = r > 0
+            if config.carried_weights and config.resampling == "none":
+                do_resample = do_resample & False
+            if config.ess_threshold is not None:
+                # ESS = (sum w)^2 / sum w^2 on normalized weights
+                lw = gate_lw - jax.scipy.special.logsumexp(gate_lw)
+                ess = jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw))
+                do_resample = do_resample & (
+                    ess < config.ess_threshold * K
+                )
         idx = jnp.where(do_resample, sampled, jnp.arange(K))
         logK = jnp.log(jnp.asarray(K, dtype=dtype))
         if config.carried_weights:
@@ -375,36 +486,12 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         else:
             log_z = state["log_z"]
             acc_base = state["acc_log_w"]
-        if dtype == jnp.float32:
-            # pack the per-particle tables into ONE int32 matrix so the
-            # ancestor permutation is a single gather (five separate
-            # row-gathers are latency-bound on TPU)
-            def bits(x):
-                return lax.bitcast_convert_type(x, jnp.int32)
-
-            packed = jnp.concatenate(
-                [
-                    state["slot"], state["leaf_counts"],
-                    bits(state["root_ll"]), state["row_of_node"],
-                    bits(state["prev_log_ll"])[:, None],
-                ],
-                axis=1,
-            )[idx]
-            slot = packed[:, :N]
-            leaf_counts = packed[:, N:2 * N]
-            root_ll = lax.bitcast_convert_type(
-                packed[:, 2 * N:3 * N], jnp.float32
+        slot, leaf_counts, root_ll, row_of_node, prev_ll_g = (
+            _resample_tables(
+                state["slot"], state["leaf_counts"], state["root_ll"],
+                state["row_of_node"], state["prev_log_ll"], idx,
             )
-            row_of_node = packed[:, 3 * N:3 * N + n_ranks]
-            prev_ll_g = lax.bitcast_convert_type(
-                packed[:, -1], jnp.float32
-            )
-        else:
-            slot = state["slot"][idx]
-            leaf_counts = state["leaf_counts"][idx]
-            root_ll = state["root_ll"][idx]
-            row_of_node = state["row_of_node"][idx]
-            prev_ll_g = state["prev_log_ll"][idx]
+        )
         tilde = jnp.where(r > 0, prev_ll_g, -logK)
         if config.resample_branch_history:
             sum_bl = jnp.where(r > 0, state["sum_bl"][idx], state["sum_bl"])
@@ -432,7 +519,10 @@ def sample_phylogenies(key, leaves, model, params, config, *,
                 ).astype(dtype)
                 P_l, P_r = P_lr[:K], P_lr[K:]
         else:
-            if decisions is not None:
+            if injected is not None:
+                p1 = dec["inj_pairs"][:, 0]
+                p2 = dec["inj_pairs"][:, 1]
+            elif decisions is not None:
                 p1 = dec["pairs"][:, 0]
                 p2 = dec["pairs"][:, 1]
             else:
@@ -441,8 +531,9 @@ def sample_phylogenies(key, leaves, model, params, config, *,
             # in one batched expm before the scan (state-independent)
             b_l = dec["branches_l"]
             b_r = dec["branches_r"]
-            P_l = dec["P_l"]
-            P_r = dec["P_r"]
+            if injected is None:
+                P_l = dec["P_l"]
+                P_r = dec["P_r"]
             # topology proposal penalty (reference quirk: the *raw*
             # probability 1/C(n,2) is subtracted from the log weight,
             # vcsmc.py:298,392)
@@ -458,40 +549,62 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         counts = _take_positions(leaf_counts, pair_pos)         # (K, 2)
         n1, n2 = nodes[:, 0], nodes[:, 1]
         c1, c2 = counts[:, 0], counts[:, 1]
-        msgs, lscs = _node_lookup(
-            leaves, state["internal_msgs"], state["internal_logscale"],
-            row_of_node, nodes, unified=config.replicate_leaves,
+        is_leaf_n = nodes < N
+        q_n = jnp.clip(nodes - N, 0, n_ranks - 1)
+        rows_n = _take_positions(row_of_node, q_n)              # (K, 2)
+        lscs = jnp.where(
+            is_leaf_n, 0.0, state["internal_logscale"][rows_n, q_n]
         )
-        m1, m2 = msgs[:, 0], msgs[:, 1]
         lsc1, lsc2 = lscs[:, 0], lscs[:, 1]
 
-        # ---- 4. Pruning update (the hot kernel) ------------------------
-        if use_pallas:
-            from phylo_tpu.pruning.kernels import fused_merge_loglik
-
-            w_vec = (site_weights if site_weights is not None
-                     else jnp.ones((S,), dtype))
-            merged, rootll_raw, d_lsc = fused_merge_loglik(
-                m1, m2, P_l, P_r, stationary, w_vec
-            )
-            node_lsc = d_lsc + lsc1 + lsc2
-            ll_new = rootll_raw + lsc1 + lsc2
-        else:
-            merged, d_lsc = merge_messages_sm(m1, m2, P_l, P_r,
-                                              rescale=config.rescale,
-                                              site_weights=site_weights)
-            node_lsc = d_lsc + lsc1 + lsc2
-            ll_new = root_log_likelihood_sm(
-                merged, stationary, site_weights=site_weights
-            ) + node_lsc
-
-        # ---- 5. Write-once buffers --------------------------------------
         zero = jnp.zeros((), dtype=r.dtype)
-        msg_col = r + N if config.replicate_leaves else r
-        internal_msgs = lax.dynamic_update_slice(
-            state["internal_msgs"], merged[:, None],
-            (zero, msg_col, zero, zero)
-        )
+        if injected is not None:
+            # ---- 4'. Injected merge scalars (scalar replay) -----------
+            # the unscaled root log-lik and per-merge log-scale computed
+            # by the forward sweep are injected; the message buffer is
+            # never touched (its gradient is handled by the manual
+            # reverse pass in sweep_vjp._messages_bwd)
+            node_lsc = dec["inj_dlsc"] + lsc1 + lsc2
+            ll_new = dec["inj_rootll"] + lsc1 + lsc2
+        else:
+            msgs, _ = _node_lookup(
+                leaves, state["internal_msgs"],
+                state["internal_logscale"], row_of_node, nodes,
+                unified=config.replicate_leaves, rows=rows_n,
+            )
+            m1, m2 = msgs[:, 0], msgs[:, 1]
+
+            # ---- 4. Pruning update (the hot kernel) --------------------
+            if use_pallas:
+                from phylo_tpu.pruning.kernels import fused_merge_loglik
+
+                w_vec = (site_weights if site_weights is not None
+                         else jnp.ones((S,), dtype))
+                merged, rootll_raw, d_lsc = fused_merge_loglik(
+                    m1, m2, P_l, P_r, stationary, w_vec
+                )
+                node_lsc = d_lsc + lsc1 + lsc2
+                ll_new = rootll_raw + lsc1 + lsc2
+            else:
+                merged, d_lsc = merge_messages_sm(
+                    m1, m2, P_l, P_r, rescale=config.rescale,
+                    site_weights=site_weights,
+                )
+                # rootll_raw is the UNSCALED root log-lik (the merge's
+                # own log-scale folded back in) so ll_new composes the
+                # same way as the kernel branch and the scalar replay
+                rootll_raw = root_log_likelihood_sm(
+                    merged, stationary, site_weights=site_weights
+                ) + d_lsc
+                node_lsc = d_lsc + lsc1 + lsc2
+                ll_new = rootll_raw + lsc1 + lsc2
+
+            # ---- 5. Write-once buffers ---------------------------------
+            msg_col = r + N if config.replicate_leaves else r
+            internal_msgs = lax.dynamic_update_slice(
+                state["internal_msgs"], merged[:, None],
+                (zero, msg_col, zero, zero)
+            )
         internal_logscale = lax.dynamic_update_slice(
             state["internal_logscale"], node_lsc[:, None], (zero, r)
         )
@@ -550,22 +663,32 @@ def sample_phylogenies(key, leaves, model, params, config, *,
 
         new_state = dict(
             key=key, slot=slot, leaf_counts=leaf_counts, root_ll=root_ll,
-            row_of_node=row_of_node, internal_msgs=internal_msgs,
+            row_of_node=row_of_node,
             internal_logscale=internal_logscale, sum_bl=sum_bl,
             sum_br=sum_br, prev_log_w=log_w, prev_log_ll=log_ll_r,
             acc_log_w=acc_base + log_w, log_z=log_z,
             branch_hist_l=branch_hist_l, branch_hist_r=branch_hist_r,
         )
+        if injected is None:
+            new_state["internal_msgs"] = internal_msgs
         out = dict(
             log_w=log_w, log_ll=log_ll_r, b_l=b_l, b_r=b_r,
             ancestors=idx.astype(jnp.int32),
             merged=jnp.stack([n1, n2], axis=-1),
             v_minus=v_minus.astype(jnp.int32), q_pen=q_pen,
         )
+        if want_aux:
+            # residual record for the manual whole-sweep VJP: the two
+            # child row resolutions plus the merge scalars at the cut
+            out.update(
+                rows=rows_n, pairs=pair_pos, rootll_raw=rootll_raw,
+                d_lsc=d_lsc, do_resample=do_resample,
+            )
         return new_state, out
 
     ranks = jnp.arange(n_ranks, dtype=jnp.int32)
     xs_dec = dict(decisions) if decisions is not None else {}
+    eps_l = eps_r = None
     if config.twist is None:
         # Branch proposals are state-independent, so ALL ranks' branch
         # lengths and transition matrices are generated in ONE batched
@@ -573,27 +696,41 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         # naive port) pays a sequential expm chain per rank instead
         # (vcsmc.py:351-356,180-188).
         if decisions is None:
-            k_bl_all, k_br_all = jax.random.split(
-                jax.random.fold_in(key, 0x5eed), 2
-            )
-            b_l_all = (
-                jax.random.exponential(k_bl_all, (n_ranks, K), dtype=dtype)
-                / rates_l[:, None]
-            )
-            b_r_all = (
-                jax.random.exponential(k_br_all, (n_ranks, K), dtype=dtype)
-                / rates_r[:, None]
-            )
+            if injected is not None:
+                # scalar replay: reuse the forward sweep's unit-rate
+                # exponential draws so b = eps / rate stays
+                # differentiable w.r.t. the rates
+                eps_l = injected["eps_l"]
+                eps_r = injected["eps_r"]
+            else:
+                k_bl_all, k_br_all = jax.random.split(
+                    jax.random.fold_in(key, 0x5eed), 2
+                )
+                eps_l = jax.random.exponential(
+                    k_bl_all, (n_ranks, K), dtype=dtype
+                )
+                eps_r = jax.random.exponential(
+                    k_br_all, (n_ranks, K), dtype=dtype
+                )
+            b_l_all = eps_l / rates_l[:, None]
+            b_r_all = eps_r / rates_r[:, None]
         else:
             b_l_all = decisions["branches_l"].astype(dtype)
             b_r_all = decisions["branches_r"].astype(dtype)
         P_all = model.transition(
             params["model"], jnp.concatenate([b_l_all, b_r_all], axis=1)
         ).astype(dtype)                                  # (R, 2K, A, A)
-        xs_dec.update(
-            branches_l=b_l_all, branches_r=b_r_all,
-            P_l=P_all[:, :K], P_r=P_all[:, K:],
-        )
+        xs_dec.update(branches_l=b_l_all, branches_r=b_r_all)
+        if injected is None:
+            xs_dec.update(P_l=P_all[:, :K], P_r=P_all[:, K:])
+        else:
+            xs_dec.update(
+                inj_ancestors=injected["ancestors"],
+                inj_pairs=injected["pairs"],
+                inj_do_resample=injected["do_resample"],
+                inj_rootll=injected["rootll_raw"],
+                inj_dlsc=injected["d_lsc"],
+            )
     else:
         # twist pools (and, within budget, the expm of every pool
         # entry) are state-independent: generate them for ALL ranks in
@@ -626,7 +763,7 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         rates_l, rates_r, N, config,
     )
 
-    return SweepResult(
+    result = SweepResult(
         log_weights=log_weights,
         log_likelihood=log_likelihood,
         elbo=elbo,
@@ -638,6 +775,27 @@ def sample_phylogenies(key, leaves, model, params, config, *,
         v_minus=outs["v_minus"],
         q_proposal=outs["q_pen"],
     )
+    if injected is not None:
+        # scalar replay: expose the tensors whose cotangents arrive via
+        # the manual message reverse pass (sweep_vjp)
+        return result, dict(P_all=P_all, pi=stationary)
+    if want_aux:
+        aux = dict(
+            buf=final["internal_msgs"],
+            leaves_sm=leaves,                    # states-major, padded
+            site_weights=(site_weights if site_weights is not None
+                          else jnp.ones((S,), dtype)),
+            eps_l=eps_l, eps_r=eps_r,
+            ancestors=outs["ancestors"],
+            merged=outs["merged"],
+            pairs=outs["pairs"],
+            rows=outs["rows"],
+            do_resample=outs["do_resample"],
+            rootll_raw=outs["rootll_raw"],
+            d_lsc=outs["d_lsc"],
+        )
+        return result, aux
+    return result
 
 
 def _debiased_log_likelihood(log_likelihood, branches_l, branches_r,

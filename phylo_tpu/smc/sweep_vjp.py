@@ -1,0 +1,220 @@
+"""Manual whole-sweep VJP for the CSMC sweep (ROADMAP item 1).
+
+XLA's reverse-mode scan over `_sample_body` drags the cotangent of the
+full unified message buffer (K, N+R, A, S) through every reverse rank
+(carry copies + add_any + dynamic-slice chains measured at ~14 ms of
+the 27.5 ms backward at primate/K=2048).  This module replaces it with
+a hand-written reverse pass built on two structural facts of the sweep:
+
+1. **The message buffer is write-once.**  Column r is written at rank r
+   and never mutated, so the FINAL buffer (a natural forward residual)
+   contains every child message any rank ever read -- the backward can
+   re-gather them exactly instead of checkpointing per-rank residuals.
+2. **Messages reach the loss only through two per-rank scalars.**  The
+   merge at rank r contributes `rootll_raw` (unscaled root log-lik) and
+   `d_lsc` (the merge's log-scale), and everything downstream of those
+   is cheap (K,)-sized bookkeeping.  Cutting the graph there splits the
+   backward into (a) an XLA-differentiated *scalar replay* of the sweep
+   with the merge scalars injected (no message tensors at all), and
+   (b) a manual reverse scan over the message DAG that carries only a
+   compact (K, R, A, S) pending-cotangent buffer -- roughly half of
+   what XLA carries, with none of the table-bookkeeping cotangents.
+
+Gradient semantics match the reference's biased VSMC gradient exactly
+(resampling / topology indices are constants; gathered VALUES carry
+gradients, reference vcsmc.py:279-344,488-491): the scalar replay
+reuses the forward's decisions verbatim, and the message reverse pass
+replays the gather/scatter transpose of the forward child lookups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def sweep_manual_vjp(key, leaves, model, params, config, shardings,
+                     site_weights):
+    """`sample_phylogenies` with the manual whole-sweep VJP attached.
+
+    Only called for eligible configs (twist=None, decisions=None,
+    rescale=True, remat=False); see `SweepConfig.manual_vjp`.
+    """
+    from phylo_tpu.smc.sweep import _sample_body
+
+    N = leaves.shape[0]
+
+    @jax.custom_vjp
+    def f(params, key, leaves, site_weights):
+        res, _ = _sample_body(
+            key, leaves, model, params, config,
+            shardings=shardings, site_weights=site_weights,
+            want_aux=True,
+        )
+        return res
+
+    def f_fwd(params, key, leaves, site_weights):
+        res, aux = _sample_body(
+            key, leaves, model, params, config,
+            shardings=shardings, site_weights=site_weights,
+            want_aux=True,
+        )
+        return res, (params, key, leaves, site_weights, aux)
+
+    def f_bwd(saved, ct):
+        params, key, leaves, site_weights, aux = saved
+
+        injected = dict(
+            eps_l=aux["eps_l"], eps_r=aux["eps_r"],
+            ancestors=aux["ancestors"], pairs=aux["pairs"],
+            do_resample=aux["do_resample"],
+        )
+
+        def replay(params, rootll_raw, d_lsc):
+            res2, cut = _sample_body(
+                key, leaves, model, params, config,
+                shardings=shardings, site_weights=site_weights,
+                injected=dict(injected, rootll_raw=rootll_raw,
+                              d_lsc=d_lsc),
+            )
+            float_outs = (
+                res2.elbo, res2.log_weights, res2.log_likelihood,
+                res2.log_likelihood_R, res2.left_branches,
+                res2.right_branches, res2.q_proposal,
+            )
+            return float_outs, cut["P_all"], cut["pi"]
+
+        primals, vjp_fn = jax.vjp(
+            replay, params, aux["rootll_raw"], aux["d_lsc"]
+        )
+        _, P_all, pi = primals
+
+        ct_f = (
+            ct.elbo, ct.log_weights, ct.log_likelihood,
+            ct.log_likelihood_R, ct.left_branches, ct.right_branches,
+            ct.q_proposal,
+        )
+        zeros_P = jnp.zeros_like(P_all)
+        zeros_pi = jnp.zeros_like(pi)
+        dparams_a, g_rootll, g_dlsc = vjp_fn((ct_f, zeros_P, zeros_pi))
+
+        dP_all, dpi = _messages_bwd(
+            aux, P_all, pi, g_rootll, g_dlsc, N, config, shardings
+        )
+
+        zct_f = jax.tree.map(jnp.zeros_like, ct_f)
+        dparams_b, _, _ = vjp_fn((zct_f, dP_all, dpi))
+        dparams = jax.tree.map(jnp.add, dparams_a, dparams_b)
+
+        return (
+            dparams,
+            np.zeros(key.shape, dtype=jax.dtypes.float0),
+            jnp.zeros_like(leaves),
+            (None if site_weights is None
+             else jnp.zeros_like(site_weights)),
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(params, key, leaves, site_weights)
+
+
+# use the streaming Pallas merge-backward kernel inside the manual
+# reverse pass on TPU (one pass instead of XLA's reduce/mul chain);
+# the jnp VJP of the reference impl is the off-TPU / fallback path
+MERGE_BWD_KERNEL_IN_MANUAL = True
+
+
+def _merge_bwd(residuals, cotangents):
+    from phylo_tpu.pruning import kernels
+
+    if MERGE_BWD_KERNEL_IN_MANUAL and (
+        jax.default_backend() == "tpu" or kernels.INTERPRET
+    ):
+        return kernels._merge_bwd_pallas(*residuals, *cotangents)
+    _, vjp = jax.vjp(kernels._ref_impl, *residuals)
+    return vjp(cotangents)
+
+
+def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
+                  shardings):
+    """Reverse pass over the message DAG, fully unrolled over ranks.
+
+    Maintains `pending` (K, R, A, S): the accumulated cotangents of
+    each internal node's (scaled) message in the ABSOLUTE buffer frame.
+    Column r was written at rank r at the particle's own row, and is
+    only ever read at ranks > r -- so by the time reverse step r
+    consumes `pending[:, r]`, every contribution has been scattered in.
+    Per rank (reverse order):
+
+      1. re-gather the two child messages from the FINAL buffer via the
+         saved (row, node-id) records (exact: write-once columns);
+      2. run the merge-op backward with cotangents (pending column,
+         g_rootll[r], g_dlsc[r]) to get child-message and
+         transition-matrix cotangents;
+      3. scatter-add the internal-child cotangents into `pending`
+         (leaf children are constants and dropped via OOB indices).
+
+    The loop is a PYTHON loop (straight-line XLA): R = N-1 is small and
+    static, the pending-column reads become static slices, and XLA
+    aliases the scatter updates in place -- a `lax.scan` formulation
+    measured 7.6 ms/run of reverse-while carry overhead at
+    primate/K=2048 (tools/vjp_trace.py).
+
+    Returns (dP_all (R, 2K, A, A), dpi (A,)).
+    """
+    buf = aux["buf"]                          # (K, C, A, Sp)
+    leaves_sm = aux["leaves_sm"]              # (N, A, Sp)
+    w_vec = aux["site_weights"]               # (Sp,)
+    rows_all = aux["rows"]                    # (R, K, 2)
+    ids_all = aux["merged"]                   # (R, K, 2)
+    K = buf.shape[0]
+    R, A, Sp = rows_all.shape[0], leaves_sm.shape[1], leaves_sm.shape[2]
+    P_l_all, P_r_all = P_all[:, :K], P_all[:, K:]
+
+    pending = jnp.zeros((K, R, A, Sp), buf.dtype)
+    if shardings is not None:
+        pending = lax.with_sharding_constraint(pending, shardings.core)
+    own = jnp.arange(K, dtype=rows_all.dtype)[:, None]
+
+    dPl_out = [None] * R
+    dPr_out = [None] * R
+    dpi = jnp.zeros_like(pi)
+    for r in range(R - 1, -1, -1):
+        rows, ids = rows_all[r], ids_all[r]
+        cot_merged = pending[:, r]
+
+        # child re-gather -- mirrors _node_lookup on the final buffer
+        is_leaf = ids < N
+        if config.replicate_leaves:
+            m = buf[jnp.where(is_leaf, own, rows), ids]
+        else:
+            q = jnp.clip(ids - N, 0, R - 1)
+            leaf_part = leaves_sm[jnp.clip(ids, 0, N - 1)]
+            int_part = buf[rows, q]
+            m = jnp.where(is_leaf[..., None, None], leaf_part, int_part)
+        m1, m2 = m[:, 0], m[:, 1]
+
+        dm1, dm2, dPl, dPr, dpi_r, _dw = _merge_bwd(
+            (m1, m2, P_l_all[r], P_r_all[r], pi, w_vec),
+            (cot_merged, g_rootll[r], g_dlsc[r]),
+        )
+        dPl_out[r], dPr_out[r] = dPl, dPr
+        dpi = dpi + dpi_r
+
+        if r:
+            # internal children accumulate; leaf children drop (OOB -1)
+            qd = jnp.where(is_leaf, -1, ids - N)
+            pending = pending.at[rows[:, 0], qd[:, 0]].add(
+                dm1, mode="drop"
+            )
+            pending = pending.at[rows[:, 1], qd[:, 1]].add(
+                dm2, mode="drop"
+            )
+
+    dP_all = jnp.concatenate(
+        [jnp.stack(dPl_out), jnp.stack(dPr_out)], axis=1
+    )                                          # (R, 2K, A, A)
+    return dP_all, dpi

@@ -120,9 +120,49 @@ def probe_leaves():
               flush=True)
 
 
+def probe_manual_vjp():
+    """Manual whole-sweep VJP (sweep_vjp) vs XLA AD at the headline
+    config (primate, K=2048) -- full-batch and batch-256 train steps."""
+    ds, model, params, leaves = setup("primate")
+    for manual in (False, True):
+        cfg = SweepConfig(K=2048, manual_vjp=manual)
+        fwd = jax.jit(
+            lambda key, p: sample_phylogenies(
+                key, leaves, model, p, cfg
+            ).elbo
+        )
+        t, e = time_fn(fwd, jax.random.PRNGKey(0), params, iters=20)
+        print(f"manual={manual}: fwd {t*1e3:.2f} ms "
+              f"elbo {float(e):.2f}", flush=True)
+
+        def loss(p, key):
+            return -sample_phylogenies(key, leaves, model, p, cfg).elbo
+
+        step = jax.jit(jax.value_and_grad(loss))
+        t, (v, g) = time_fn(step, params, jax.random.PRNGKey(0),
+                            iters=20)
+        gsum = sum(float(jnp.sum(jnp.abs(x)))
+                   for x in jax.tree.leaves(g))
+        print(f"manual={manual}: fwd+bwd {t*1e3:.2f} ms "
+              f"loss {float(v):.4f} |g| {gsum:.4f}", flush=True)
+
+        idx = jnp.arange(256)
+
+        def loss_b(p, key):
+            batch = jnp.take(leaves, idx, axis=1)
+            return -sample_phylogenies(key, batch, model, p, cfg).elbo
+
+        step_b = jax.jit(jax.value_and_grad(loss_b))
+        t, _ = time_fn(step_b, params, jax.random.PRNGKey(0), iters=20)
+        print(f"manual={manual}: fwd+bwd batch256 {t*1e3:.2f} ms",
+              flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("twist", "all"):
         probe_twist()
     if which in ("leaves", "all"):
         probe_leaves()
+    if which in ("manual", "all"):
+        probe_manual_vjp()

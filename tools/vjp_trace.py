@@ -1,0 +1,81 @@
+"""Xprof trace of the sweep fwd+bwd (manual vs XLA AD) at the headline
+config; prints the top ops by self time.
+
+Usage: python tools/vjp_trace.py [manual|auto] [K] [batch]
+"""
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+from phylo_tpu.dataio import load_dataset
+from phylo_tpu.models.branches import init_branch_params
+from phylo_tpu.models.substitution import ReferenceQ
+from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies
+
+mode = sys.argv[1] if len(sys.argv) > 1 else "manual"
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+batch = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+
+ds = load_dataset("primate")
+model = ReferenceQ(A=ds.A)
+params = {
+    "model": model.init_params(jnp.float32),
+    "branches": init_branch_params(ds.N, dtype=jnp.float32),
+}
+leaves = jnp.asarray(ds.genome, dtype=jnp.float32)
+if batch:
+    leaves = leaves[:, :batch]
+cfg = SweepConfig(K=K, manual_vjp=(mode == "manual"))
+
+
+def loss(p, key):
+    return -sample_phylogenies(key, leaves, model, p, cfg).elbo
+
+
+step = jax.jit(jax.value_and_grad(loss))
+out = step(params, jax.random.PRNGKey(0))
+jax.block_until_ready(out)
+
+trace_dir = f"/tmp/vjp_trace_{mode}"
+os.system(f"rm -rf {trace_dir}")
+with jax.profiler.trace(trace_dir):
+    for _ in range(5):
+        out = step(params, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+
+xplane = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+try:
+    from xprof.convert import raw_to_tool_data as rtd
+except ImportError:
+    from tensorboard_plugin_profile.convert import (  # noqa
+        raw_to_tool_data as rtd,
+    )
+
+data, _ = rtd.xspace_to_tool_data(xplane, "framework_op_stats", {})
+rows = json.loads(data) if isinstance(data, (str, bytes)) else data
+# gviz table: rows under 'rows', cols under 'cols'
+cols = [c["label"] for c in rows["cols"]]
+i_name = cols.index("Operation")if "Operation" in cols else 1
+print(f"{'self_us':>10}  {'total_us':>10}  op")
+table = []
+for r in rows["rows"]:
+    vals = [c["v"] for c in r["c"]]
+    rec = dict(zip(cols, vals))
+    table.append(rec)
+key_self = next(c for c in cols if "Self" in c and "time" in c.lower())
+table.sort(key=lambda r: -float(r.get(key_self) or 0))
+for rec in table[:25]:
+    tot = next((rec[c] for c in cols if "Total" in c and "time" in c.lower()), "")
+    name = rec.get("Operation") or rec.get("Op name") or ""
+    typ = rec.get("Type") or ""
+    print(f"{float(rec[key_self] or 0):>10.1f}  {tot!s:>10}  {typ:<18} {name[:90]}")
