@@ -186,16 +186,21 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
         rows, ids = rows_all[r], ids_all[r]
         cot_merged = pending[:, r]
 
-        # child re-gather -- mirrors _node_lookup on the final buffer
+        # child re-gather -- mirrors _node_lookup on the final buffer,
+        # but as TWO (K, A, S) gathers: the pair-fused form pays a
+        # (K, 2, A, S) materialization + squeeze copies here (bandwidth
+        # beats latency at reverse-pass sizes)
         is_leaf = ids < N
         if config.replicate_leaves:
-            m = buf[jnp.where(is_leaf, own, rows), ids]
+            brow = jnp.where(is_leaf, own, rows)
+            m1 = buf[brow[:, 0], ids[:, 0]]
+            m2 = buf[brow[:, 1], ids[:, 1]]
         else:
             q = jnp.clip(ids - N, 0, R - 1)
             leaf_part = leaves_sm[jnp.clip(ids, 0, N - 1)]
             int_part = buf[rows, q]
             m = jnp.where(is_leaf[..., None, None], leaf_part, int_part)
-        m1, m2 = m[:, 0], m[:, 1]
+            m1, m2 = m[:, 0], m[:, 1]
 
         dm1, dm2, dPl, dPr, dpi_r, _dw = _merge_bwd(
             (m1, m2, P_l_all[r], P_r_all[r], pi, w_vec),

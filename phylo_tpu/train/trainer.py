@@ -72,10 +72,21 @@ class TrainConfig:
     # host-side per epoch only when artifacts are being saved
     collect_jump_chains: bool = True
     checkpoint_every: int = 0        # epochs; 0 = disabled
+    # stable checkpoint directory; None = <save_dir>/ckpt (timestamped,
+    # so NOT findable across restarts -- set this for elastic runs)
+    checkpoint_dir: Optional[str] = None
+    # path to resume from, or "auto" = latest checkpoint in
+    # checkpoint_dir (fresh run when none exist yet)
     resume_from: Optional[str] = None
     # sharding: name of a mesh axis layout, None = single device
     mesh_shape: Optional[tuple] = None
     log_every: int = 1
+    # fault-injection harness for elastic/recovery testing:
+    # "sigkill:E" hard-kills the process (uncatchable, simulates
+    # preemption/power loss) and "raise:E" raises RuntimeError, at the
+    # start of epoch E.  Only fires when the run reached E by training
+    # (start_epoch < E), so a resumed run sails past the fault point.
+    fault_injection: Optional[str] = None
 
 
 @dataclass
@@ -170,11 +181,20 @@ def train(dataset, config: TrainConfig):
     opt_state = tx.init(params)
     start_epoch = 0
     restored_history = None
-    if config.resume_from:
+    resume_from = config.resume_from
+    if resume_from == "auto":
+        # elastic restart: pick up the latest checkpoint in the stable
+        # checkpoint_dir; a fresh run (no checkpoints yet) starts clean
+        from phylo_tpu.train.checkpoint import latest_checkpoint
+
+        if not config.checkpoint_dir:
+            raise ValueError("resume_from='auto' needs checkpoint_dir")
+        resume_from = latest_checkpoint(config.checkpoint_dir)
+    if resume_from:
         from phylo_tpu.train.checkpoint import restore_checkpoint
 
         params, opt_state, start_epoch, restored_history = (
-            restore_checkpoint(config.resume_from, params, opt_state)
+            restore_checkpoint(resume_from, params, opt_state)
         )
 
     @jax.jit
@@ -198,20 +218,21 @@ def train(dataset, config: TrainConfig):
             site_weights=eval_weights,
         )
 
-    key = jax.random.PRNGKey(config.seed)
-    rng = np.random.default_rng(config.seed)
-    if start_epoch:
-        # decorrelate the resumed PRNG stream from the pre-resume epochs
-        # (otherwise the seed's key sequence replays from scratch)
-        key = jax.random.fold_in(key, start_epoch)
-        rng = np.random.default_rng((config.seed, start_epoch))
+    # Per-epoch folded PRNG streams: every key is a pure function of
+    # (seed, epoch, step), so a run resumed from the epoch-e checkpoint
+    # replays epochs e.. bit-identically to the uninterrupted run --
+    # the contract the elastic supervisor and the fault-injection test
+    # rely on (the reference is unseeded and irreproducible,
+    # SURVEY.md section 5).
+    base_key = jax.random.PRNGKey(config.seed)
 
     # initial full-data ELBO, as the reference reports before training
     # (reference vcsmc.py:496-500)
     initial_elbo = None
     if config.log_every:
-        key, sub = jax.random.split(key)
-        initial_elbo = float(eval_step(params, sub).elbo)
+        initial_elbo = float(
+            eval_step(params, jax.random.fold_in(base_key, 2**31 - 1)).elbo
+        )
         print(f"Initial evaluation of ELBO: {initial_elbo:.3f}")
 
     save_dir = None
@@ -239,26 +260,47 @@ def train(dataset, config: TrainConfig):
     if config.fixed_partition:
         fixed_batches = [
             np.asarray(b)
-            for b in site_batches(rng, S, config.batch_size, drop_last=True)
+            for b in site_batches(
+                np.random.default_rng(config.seed), S,
+                config.batch_size, drop_last=True,
+            )
         ]
 
     n_ranks = dataset.N - 1
     for epoch in range(start_epoch, config.num_epoch):
+        if config.fault_injection:
+            kind, at = config.fault_injection.split(":")
+            if epoch == int(at) and start_epoch < int(at):
+                if kind == "sigkill":
+                    import signal
+
+                    os.kill(os.getpid(), signal.SIGKILL)
+                elif kind == "raise":
+                    raise RuntimeError(
+                        f"injected fault at epoch {epoch}"
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown fault kind {kind!r}"
+                    )
         t0 = time.time()
+        epoch_key = jax.random.fold_in(base_key, epoch)
         if fixed_batches is not None:
             batches = fixed_batches
         else:
             batches = list(
-                site_batches(rng, S, config.batch_size, drop_last=True)
+                site_batches(
+                    np.random.default_rng((config.seed, epoch)), S,
+                    config.batch_size, drop_last=True,
+                )
             )
-        for site_idx in batches:
-            key, sub = jax.random.split(key)
+        for i, site_idx in enumerate(batches):
             params, opt_state, loss = train_step(
-                params, opt_state, sub, jnp.asarray(site_idx)
+                params, opt_state, jax.random.fold_in(epoch_key, 1 + i),
+                jnp.asarray(site_idx),
             )
 
-        key, sub = jax.random.split(key)
-        res = eval_step(params, sub)
+        res = eval_step(params, jax.random.fold_in(epoch_key, 0))
         elbo = float(res.elbo)
         dt = time.time() - t0
 
@@ -311,16 +353,18 @@ def train(dataset, config: TrainConfig):
                 f"  {dt:.2f}s"
             )
 
+        ckpt_dir = config.checkpoint_dir or (
+            os.path.join(save_dir, "ckpt") if save_dir else None
+        )
         if (
             config.checkpoint_every
-            and save_dir
+            and ckpt_dir
             and (epoch + 1) % config.checkpoint_every == 0
         ):
             from phylo_tpu.train.checkpoint import save_checkpoint
 
             save_checkpoint(
-                os.path.join(save_dir, "ckpt"), params, opt_state,
-                epoch + 1, history=history,
+                ckpt_dir, params, opt_state, epoch + 1, history=history,
             )
 
     if save_dir:
