@@ -65,9 +65,19 @@ class TorchVCSMC:
         e = torch.exp(self.y_station)
         return e / e.sum()
 
-    def sweep(self, sites_idx=None):
+    def sweep(self, sites_idx=None, decisions=None):
         """One full SMC sweep (reference vcsmc.py:332-451 shape) on the
-        given site subset; returns the ELBO tensor."""
+        given site subset; returns the ELBO tensor.
+
+        decisions: optional dict of pre-drawn randomness ('ancestors'
+        (N-1, K) ints, 'pairs' (N-1, K, 2) positions, 'branches_l'/
+        'branches_r' (N-1, K) branch LENGTHS) making the sweep fully
+        deterministic -- the same contract as the JAX sweep's
+        `decisions`, for trajectory-level value/gradient parity tests.
+        Injected branch lengths are constants in both implementations
+        (no pathwise rate gradient; that path is covered by the
+        finite-difference tests on sampled sweeps).
+        """
         N, K, A = self.N, self.K, self.A
         leaves = self.leaves
         if sites_idx is not None:
@@ -89,26 +99,49 @@ class TorchVCSMC:
         for r in range(N - 1):
             n = N - r
             if r > 0:
-                probs = torch.softmax(prev_w.detach(), dim=0)
-                idx = torch.multinomial(
-                    probs, K, replacement=True, generator=self.g
-                )
+                if decisions is not None:
+                    idx = torch.as_tensor(
+                        np.asarray(decisions["ancestors"][r]),
+                        dtype=torch.long,
+                    )
+                else:
+                    probs = torch.softmax(prev_w.detach(), dim=0)
+                    idx = torch.multinomial(
+                        probs, K, replacement=True, generator=self.g
+                    )
                 core = core[idx]
                 counts = counts[idx]
                 tilde = log_ll_prev[idx]
 
-            # uniform pair without replacement (gumbel top-2,
-            # vcsmc.py:302-305)
-            z = -torch.log(-torch.log(
-                torch.rand((K, n), generator=self.g)
-            ))
-            pair = torch.topk(z, 2, dim=1).indices
+            if decisions is not None:
+                pair = torch.as_tensor(
+                    np.asarray(decisions["pairs"][r]), dtype=torch.long
+                )
+            else:
+                # uniform pair without replacement (gumbel top-2,
+                # vcsmc.py:302-305)
+                z = -torch.log(-torch.log(
+                    torch.rand((K, n), generator=self.g)
+                ))
+                pair = torch.topk(z, 2, dim=1).indices
             p1, p2 = pair[:, 0], pair[:, 1]
 
-            u1 = torch.rand((K,), generator=self.g, dtype=torch.float64)
-            u2 = torch.rand((K,), generator=self.g, dtype=torch.float64)
-            b_l = -torch.log1p(-u1) / rates_l[r]
-            b_r = -torch.log1p(-u2) / rates_r[r]
+            if decisions is not None:
+                b_l = torch.as_tensor(
+                    np.asarray(decisions["branches_l"][r]),
+                    dtype=torch.float64,
+                )
+                b_r = torch.as_tensor(
+                    np.asarray(decisions["branches_r"][r]),
+                    dtype=torch.float64,
+                )
+            else:
+                u1 = torch.rand((K,), generator=self.g,
+                                dtype=torch.float64)
+                u2 = torch.rand((K,), generator=self.g,
+                                dtype=torch.float64)
+                b_l = -torch.log1p(-u1) / rates_l[r]
+                b_r = -torch.log1p(-u2) / rates_r[r]
             bl_hist.append(b_l)
             br_hist.append(b_r)
 

@@ -139,8 +139,11 @@ class SweepConfig:
     # decisions is None, rescale=True and remat=False; other configs
     # fall back to XLA AD.  Gradient semantics are identical (biased
     # resampling gradient: indices constant, gathered values
-    # differentiable).
-    manual_vjp: bool = True
+    # differentiable; matches XLA AD to 1e-8 in tests/test_sweep_vjp).
+    # Default False: measured at parity with XLA AD full-batch and
+    # slower on small site batches (tools/perf_probe.py manual) -- flip
+    # on for memory-tight configs (it frees the per-rank residuals).
+    manual_vjp: bool = False
 
 
 @jax.tree_util.register_dataclass
