@@ -26,16 +26,48 @@ DNA_ALPHABET = "ACGT"
 REFERENCE_GAP_CHARS = "-?"   # exactly the reference's blank set
 GAP_CHARS = "-?Nn"           # + IUPAC N as missing (extension, see above)
 
+# IUPAC nucleotide ambiguity codes -> the set of bases they stand for;
+# encoded as multi-hot rows (standard Felsenstein ambiguous-data
+# handling: the leaf's conditional likelihood is 1 for each compatible
+# state).  The reference accepts none of these (it would KeyError).
+DNA_AMBIGUITY = {
+    "R": "AG", "Y": "CT", "S": "CG", "W": "AT", "K": "GT", "M": "AC",
+    "B": "CGT", "D": "AGT", "H": "ACT", "V": "ACG", "U": "T",
+}
+
+# Amino acids, alphabetical one-letter order; an EXTENSION beyond the
+# reference (DNA-only).  Works with every A-generic model (JC69, GTR,
+# ReferenceQ, FixedQ) -- the alphabet size flows from the data, the
+# same way the reference handles its A=7 spike dataset (vcsmc.py:118).
+PROTEIN_ALPHABET = "ACDEFGHIKLMNPQRSTVWY"
+PROTEIN_GAP_CHARS = "-?Xx*"
+PROTEIN_AMBIGUITY = {
+    "B": "DN",   # Asx
+    "Z": "EQ",   # Glx
+    "J": "IL",   # Xle
+    "U": "C",    # selenocysteine: closest standard state
+    "O": "K",    # pyrrolysine
+}
+
 
 def one_hot_rows(alphabet: str = DNA_ALPHABET,
-                 gap_chars: str = GAP_CHARS) -> dict:
-    """Character -> one-hot row dict for ``alphabet`` plus all-ones rows
-    for every character in ``gap_chars``."""
+                 gap_chars: str = GAP_CHARS,
+                 ambiguity: dict | None = None) -> dict:
+    """Character -> encoding row dict for ``alphabet``: one-hot for the
+    alphabet itself, all-ones for every character in ``gap_chars``
+    (missing data), and multi-hot rows for ``ambiguity`` codes (a map
+    char -> compatible-state string)."""
     A = len(alphabet)
     rows = {}
     for i, ch in enumerate(alphabet):
         row = np.zeros(A)
         row[i] = 1.0
+        rows[ch.upper()] = row
+        rows[ch.lower()] = row
+    for ch, states in (ambiguity or {}).items():
+        row = np.zeros(A)
+        for s in states:
+            row[alphabet.index(s.upper())] = 1.0
         rows[ch.upper()] = row
         rows[ch.lower()] = row
     ones = np.ones(A)
@@ -45,23 +77,32 @@ def one_hot_rows(alphabet: str = DNA_ALPHABET,
 
 
 def encode_strings(strings, alphabet: str = DNA_ALPHABET,
-                   dtype=np.float64, gap_chars: str = GAP_CHARS):
-    """Encode equal-length sequences into an (N, S, A) one-hot array.
+                   dtype=np.float64, gap_chars: str | None = None,
+                   ambiguity: dict | None = None):
+    """Encode equal-length sequences into an (N, S, A) multi-hot array.
 
     Equivalent to the reference's ``form_dataset_from_strings``
     (runner.py:107-115) but vectorized via a lookup table instead of a
     double Python loop.  ``gap_chars`` characters encode as all-ones
-    (missing data); the default includes N/n, which the reference does
-    not accept -- use ``gap_chars=REFERENCE_GAP_CHARS`` for strict
-    parity.
+    (missing data); the DNA default includes N/n, which the reference
+    does not accept -- use ``gap_chars=REFERENCE_GAP_CHARS`` for strict
+    parity.  ``ambiguity`` maps IUPAC-style codes to compatible states
+    (defaults: DNA_AMBIGUITY / PROTEIN_AMBIGUITY by alphabet).
     """
+    if gap_chars is None:
+        gap_chars = (PROTEIN_GAP_CHARS if alphabet == PROTEIN_ALPHABET
+                     else GAP_CHARS)
+    if ambiguity is None:
+        ambiguity = (PROTEIN_AMBIGUITY if alphabet == PROTEIN_ALPHABET
+                     else DNA_AMBIGUITY if alphabet == DNA_ALPHABET
+                     else {})
     if not strings:
         raise ValueError("need at least one sequence")
     S = len(strings[0])
     for s in strings:
         if len(s) != S:
             raise ValueError("sequences must have equal length")
-    rows = one_hot_rows(alphabet, gap_chars)
+    rows = one_hot_rows(alphabet, gap_chars, ambiguity)
     A = len(alphabet)
     # Build a 256-row lookup table indexed by character code.
     table = np.full((256, A), np.nan, dtype=dtype)

@@ -93,11 +93,36 @@ def simulate_dna(n_taxa, seq_length, seed=0, alphabet=DNA_ALPHABET):
     return dataset_from_strings(strings, name=f"simulated_{n_taxa}x{seq_length}")
 
 
-def _taxa_dict_dataset(name, raw):
+def detect_alphabet(strings):
+    """DNA unless the letters say otherwise.
+
+    Nucleotide alignments (incl. every IUPAC ambiguity code and RNA U)
+    stay DNA; anything with amino-acid-only letters (E, F, I, L, P, Q,
+    X, Z, ...) is protein.  Mirrors the usual aligner heuristic."""
+    from phylo_tpu.dataio.alphabets import (
+        DNA_AMBIGUITY, GAP_CHARS, PROTEIN_ALPHABET,
+    )
+
+    chars = set("".join(strings).upper()) - set(GAP_CHARS.upper()) - {"*"}
+    dna = set(DNA_ALPHABET) | set(DNA_AMBIGUITY)
+    if chars <= dna:
+        return DNA_ALPHABET
+    return PROTEIN_ALPHABET
+
+
+def _taxa_dict_dataset(name, raw, alphabet=None):
     """Build a dataset from a {taxon: sequence-string} dict, preserving
-    insertion order like the reference's list(dict.values())."""
+    insertion order like the reference's list(dict.values()).
+
+    alphabet: DNA_ALPHABET / PROTEIN_ALPHABET / any state string; None
+    auto-detects (reference pickles are all DNA; parsed FASTA/PHYLIP/
+    NEXUS files may be protein -- an extension, the reference is
+    DNA-only)."""
     taxa = list(raw.keys())
-    genome = encode_strings(list(raw.values()))
+    strings = list(raw.values())
+    if alphabet is None:
+        alphabet = detect_alphabet(strings)
+    genome = encode_strings(strings, alphabet)
     return PhyloDataset(name=name, taxa=taxa, genome=genome)
 
 
@@ -168,7 +193,8 @@ def load_dataset(name, data_root=None, **kwargs):
         from phylo_tpu.dataio.parsers import load_alignment_file
 
         raw = load_alignment_file(key)
-        return _taxa_dict_dataset(os.path.basename(key), raw)
+        return _taxa_dict_dataset(os.path.basename(key), raw,
+                                  alphabet=kwargs.get("alphabet"))
     alias = {
         "primate": "primate_data",
         "primates_small": "primate_data_wang",

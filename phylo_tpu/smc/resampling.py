@@ -15,14 +15,23 @@ STRATEGIES = ("multinomial", "systematic", "stratified", "none")
 
 
 def resample_indices(key, log_weights, strategy="multinomial"):
-    """Ancestor indices (K,) for the given per-particle log weights."""
+    """Ancestor indices (K,) for the given per-particle log weights.
+
+    Multinomial keeps `jax.random.categorical` (the reference's
+    distribution, vcsmc.py:285): its (K, K) Gumbel field looks
+    expensive standalone (32 us vs 15 us for an inverse-CDF draw at
+    K=2048) but pipelines better inside the rank scan -- switching to
+    cumsum+searchsorted measured ~0.9 ms SLOWER per full sweep in situ.
+    The lower-variance schemes invert the weight CDF with an unrolled
+    binary search.
+    """
     K = log_weights.shape[0]
     if strategy == "none":
         return jnp.arange(K)
-    log_norm = log_weights - jax.scipy.special.logsumexp(log_weights)
     if strategy == "multinomial":
+        log_norm = log_weights - jax.scipy.special.logsumexp(log_weights)
         return jax.random.categorical(key, log_norm, shape=(K,))
-    # inverse-CDF schemes
+    log_norm = log_weights - jnp.max(log_weights)
     cdf = jnp.cumsum(jnp.exp(log_norm))
     cdf = cdf / cdf[-1]
     if strategy == "systematic":
@@ -31,4 +40,6 @@ def resample_indices(key, log_weights, strategy="multinomial"):
         u = (jax.random.uniform(key, (K,), dtype=cdf.dtype) + jnp.arange(K)) / K
     else:
         raise ValueError(f"unknown resampling strategy {strategy!r}")
-    return jnp.searchsorted(cdf, u, side="left").astype(jnp.int32)
+    return jnp.searchsorted(
+        cdf, u, side="right", method="scan_unrolled"
+    ).astype(jnp.int32)

@@ -74,39 +74,52 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
         )
 
         def replay(params, rootll_raw, d_lsc):
-            res2, cut = _sample_body(
+            res2, _cut = _sample_body(
                 key, leaves, model, params, config,
                 shardings=shardings, site_weights=site_weights,
                 injected=dict(injected, rootll_raw=rootll_raw,
                               d_lsc=d_lsc),
             )
-            float_outs = (
+            return (
                 res2.elbo, res2.log_weights, res2.log_likelihood,
                 res2.log_likelihood_R, res2.left_branches,
                 res2.right_branches, res2.q_proposal,
             )
-            return float_outs, cut["P_all"], cut["pi"]
 
-        primals, vjp_fn = jax.vjp(
-            replay, params, aux["rootll_raw"], aux["d_lsc"]
-        )
-        _, P_all, pi = primals
+        def prologue(params):
+            # the (P_all, pi) linearization points -- the same ops the
+            # replay (and forward) run, split out so the scalar replay
+            # is differentiated ONCE and the dP_all/dpi cotangents pull
+            # back through a graph of just rates -> branches -> expm
+            from phylo_tpu.models.branches import branch_rates
+
+            dtype = aux["eps_l"].dtype
+            rates_l, rates_r = branch_rates(params["branches"])
+            rates_l = rates_l.astype(dtype)
+            rates_r = rates_r.astype(dtype)
+            b_l = aux["eps_l"] / rates_l[:, None]
+            b_r = aux["eps_r"] / rates_r[:, None]
+            P_all = model.transition(
+                params["model"], jnp.concatenate([b_l, b_r], axis=1)
+            ).astype(dtype)
+            pi = model.stationary(params["model"]).astype(dtype)
+            return P_all, pi
 
         ct_f = (
             ct.elbo, ct.log_weights, ct.log_likelihood,
             ct.log_likelihood_R, ct.left_branches, ct.right_branches,
             ct.q_proposal,
         )
-        zeros_P = jnp.zeros_like(P_all)
-        zeros_pi = jnp.zeros_like(pi)
-        dparams_a, g_rootll, g_dlsc = vjp_fn((ct_f, zeros_P, zeros_pi))
+        _, vjp_replay = jax.vjp(
+            replay, params, aux["rootll_raw"], aux["d_lsc"]
+        )
+        dparams_a, g_rootll, g_dlsc = vjp_replay(ct_f)
 
+        (P_all, pi), vjp_prologue = jax.vjp(prologue, params)
         dP_all, dpi = _messages_bwd(
             aux, P_all, pi, g_rootll, g_dlsc, N, config, shardings
         )
-
-        zct_f = jax.tree.map(jnp.zeros_like, ct_f)
-        dparams_b, _, _ = vjp_fn((zct_f, dP_all, dpi))
+        (dparams_b,) = vjp_prologue((dP_all, dpi))
         dparams = jax.tree.map(jnp.add, dparams_a, dparams_b)
 
         return (
@@ -122,9 +135,15 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
 
 
 # use the streaming Pallas merge-backward kernel inside the manual
-# reverse pass on TPU (one pass instead of XLA's reduce/mul chain);
-# the jnp VJP of the reference impl is the off-TPU / fallback path
-MERGE_BWD_KERNEL_IN_MANUAL = True
+# reverse pass on TPU instead of XLA's VJP of the reference impl.
+# Measured SLOWER in situ (1.16 vs ~0.7 ms/rank at primate/K=2048;
+# with it off the manual path edges out XLA AD full-batch, 40.0 vs
+# 41.1 ms fwd+bwd) -- default off; env-overridable for A/B probes.
+import os as _os
+
+MERGE_BWD_KERNEL_IN_MANUAL = (
+    _os.environ.get("PHYLO_MANUAL_MERGE_KERNEL", "0") == "1"
+)
 
 
 def _merge_bwd(residuals, cotangents):
