@@ -272,8 +272,33 @@ class GammaSites(_Model):
             jnp.full((self.G,), 1.0 / self.G, dtype=pib.dtype), pib
         )
 
+    @property
+    def blocks(self):
+        """(G, A_base) block structure of the transition matrices --
+        the sweep uses `transition_blocks` + the blocked merge when a
+        model exposes this."""
+        return (self.G, self.base.A)
+
+    def transition_blocks(self, params, b):
+        """Per-category transitions (..., G, A, A): expm of a
+        block-diagonal generator is the block-diagonal of the blocks'
+        expms, so G batched A x A expms (through the base model's
+        transition -- JC69 keeps its closed form) replace one dense
+        (G A)^3 series: G^2 x fewer flops, identical math."""
+        r = self.rates(params)
+        b = jnp.asarray(b)
+        return self.base.transition(
+            params["base"], b[..., None] * r.astype(b.dtype)
+        )
+
     def transition(self, params, b):
-        return expm_ctmc(self.Q(params), b)
+        b = jnp.asarray(b)
+        Pg = self.transition_blocks(params, b)   # (..., G, A, A)
+        G, A = self.G, self.base.A
+        eye = jnp.eye(G, dtype=Pg.dtype)
+        # exact f32 broadcast-multiply assembly (no dot_general)
+        dense = Pg[..., :, :, None, :] * eye[:, None, :, None]
+        return dense.reshape(*b.shape, G * A, G * A)
 
     def expand_leaves(self, genome):
         """(N, S, A) one-hot/ambiguous codes -> (N, S, G*A): the

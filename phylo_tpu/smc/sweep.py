@@ -144,6 +144,11 @@ class SweepConfig:
     # slower on small site batches (tools/perf_probe.py manual) -- flip
     # on for memory-tight configs (it frees the per-rank residuals).
     manual_vjp: bool = False
+    # block-structured merge contraction for product-space models
+    # (GammaSites): G x fewer flops, wins VALUE-ONLY sweeps (~17%
+    # faster forward at G=4) but regresses fwd+bwd -- enable for
+    # inference/eval-heavy workloads
+    blocked_merge: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -309,7 +314,8 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     O(K N A S) message-buffer cotangent with a compact hand-written
     reverse pass (ROADMAP item 1)."""
     if (config.manual_vjp and config.twist is None and decisions is None
-            and config.rescale and not config.remat):
+            and config.rescale and not config.remat
+            and not config.blocked_merge):
         from phylo_tpu.smc.sweep_vjp import sweep_manual_vjp
 
         return sweep_manual_vjp(key, leaves, model, params, config,
@@ -355,12 +361,24 @@ def _sample_body(key, leaves, model, params, config, *,
     # states-major internal layout (N, A, S): site tiles ride TPU vector
     # lanes and the Pallas kernel consumes buffers without transposes
     leaves = jnp.swapaxes(jnp.asarray(leaves), -1, -2)
+    # block-structured models (GammaSites): per-block transitions + the
+    # blocked merge contraction (non-twist path; the twist enumerates
+    # with dense transitions).  Opt-in (SweepConfig.blocked_merge):
+    # the blocked contraction wins forward-only sweeps (13.5 -> 11.3
+    # ms at GammaSites G=4 K=512 primate) but its best-known backward
+    # loses to the dense einsum VJP (47 vs 36 ms fwd+bwd) -- see
+    # pruning.felsenstein._contract_blocked.  Either way the model's
+    # dense `transition` already uses per-block expms.
+    blocks = (getattr(model, "blocks", None)
+              if (config.twist is None and config.blocked_merge)
+              else None)
     use_pallas = (
         config.use_pallas and config.rescale
         and jax.default_backend() == "tpu"
         # the kernel unrolls A^2; product-space alphabets (GammaSites
         # A' = G*A) blow the Mosaic unroll budget -- use the jnp path
         and A <= 8
+        and blocks is None
     )
     if use_pallas:
         # pre-pad the site axis to the kernel tile so the per-rank pad
@@ -591,7 +609,7 @@ def _sample_body(key, leaves, model, params, config, *,
             else:
                 merged, d_lsc = merge_messages_sm(
                     m1, m2, P_l, P_r, rescale=config.rescale,
-                    site_weights=site_weights,
+                    site_weights=site_weights, blocks=blocks,
                 )
                 # rootll_raw is the UNSCALED root log-lik (the merge's
                 # own log-scale folded back in) so ll_new composes the
@@ -720,9 +738,11 @@ def _sample_body(key, leaves, model, params, config, *,
         else:
             b_l_all = decisions["branches_l"].astype(dtype)
             b_r_all = decisions["branches_r"].astype(dtype)
-        P_all = model.transition(
+        transition = (model.transition_blocks if blocks is not None
+                      else model.transition)
+        P_all = transition(
             params["model"], jnp.concatenate([b_l_all, b_r_all], axis=1)
-        ).astype(dtype)                                  # (R, 2K, A, A)
+        ).astype(dtype)              # (R, 2K, A, A) / (R, 2K, G, A, A)
         xs_dec.update(branches_l=b_l_all, branches_r=b_r_all)
         if injected is None:
             xs_dec.update(P_l=P_all[:, :K], P_r=P_all[:, K:])

@@ -162,3 +162,35 @@ def test_train_gamma_end_to_end(tmp_path):
     res = train(ds, cfg)
     assert np.isfinite(res.elbo)
     assert "log_alpha" in res.params["model"]
+
+
+def test_blocked_merge_matches_dense():
+    """SweepConfig.blocked_merge: same values, same gradients as the
+    dense product-space path (the blocked contraction + its custom VJP
+    in pruning.felsenstein._contract_blocked)."""
+    ds = dataset_from_strings(STRINGS, name="gamma_blocked")
+    model = GammaSites(ReferenceQ(A=4), G=4)
+    params = {
+        "model": model.init_params(jnp.float64),
+        "branches": init_branch_params(ds.N, dtype=jnp.float64),
+    }
+    leaves = jnp.asarray(model.expand_leaves(ds.genome), jnp.float64)
+
+    outs = {}
+    for blocked in (False, True):
+        cfg = SweepConfig(K=6, blocked_merge=blocked)
+
+        def loss(p):
+            return -sample_phylogenies(
+                jax.random.PRNGKey(5), leaves, model, p, cfg
+            ).elbo
+
+        outs[blocked] = jax.value_and_grad(loss)(params)
+
+    np.testing.assert_allclose(
+        float(outs[False][0]), float(outs[True][0]), rtol=1e-12
+    )
+    for a, b in zip(jax.tree.leaves(outs[False][1]),
+                    jax.tree.leaves(outs[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)

@@ -158,6 +158,69 @@ def probe_manual_vjp():
               flush=True)
 
 
+class _DenseOnly:
+    """Hide a model's block structure (A/B probe: dense vs blocked)."""
+
+    def __init__(self, model):
+        self._m = model
+        self.A = model.A
+
+    def __getattr__(self, name):
+        if name in ("transition_blocks", "blocks"):
+            raise AttributeError(name)
+        return getattr(self._m, name)
+
+
+class _LegacyDense(_DenseOnly):
+    """Round-1 GammaSites: dense (G A)^3 expm + dense merge."""
+
+    def transition(self, params, b):
+        from phylo_tpu.models.expm import expm_ctmc
+
+        return expm_ctmc(self._m.Q(params), b)
+
+
+def probe_gamma():
+    """GammaSites G=4 on primate: legacy dense (G A)^3 expm, blocked
+    expm + dense merge, and blocked expm + blocked merge."""
+    from phylo_tpu.models.substitution import GammaSites
+
+    ds = load_dataset("primate")
+    for K in (512,):
+        for arm in ("legacy", "dense_merge", "blocked"):
+            model = GammaSites(ReferenceQ(A=ds.A), G=4)
+            params = {
+                "model": model.init_params(jnp.float32),
+                "branches": init_branch_params(ds.N, dtype=jnp.float32),
+            }
+            leaves = jnp.asarray(model.expand_leaves(ds.genome),
+                                 dtype=jnp.float32)
+            if arm == "legacy":
+                model = _LegacyDense(model)
+            elif arm == "dense_merge":
+                model = _DenseOnly(model)
+            dense = arm
+            cfg = SweepConfig(K=K, blocked_merge=(arm == "blocked"))
+            fwd = jax.jit(
+                lambda key, p: sample_phylogenies(
+                    key, leaves, model, p, cfg
+                ).elbo
+            )
+            t, e = time_fn(fwd, jax.random.PRNGKey(0), params, iters=10)
+            print(f"gamma K={K} dense={dense}: fwd {t*1e3:.2f} ms "
+                  f"elbo {float(e):.2f}", flush=True)
+
+            def loss(p, key):
+                return -sample_phylogenies(
+                    key, leaves, model, p, cfg
+                ).elbo
+
+            step = jax.jit(jax.value_and_grad(loss))
+            t, _ = time_fn(step, params, jax.random.PRNGKey(0), iters=10)
+            print(f"gamma K={K} dense={dense}: fwd+bwd {t*1e3:.2f} ms",
+                  flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("twist", "all"):
@@ -166,3 +229,5 @@ if __name__ == "__main__":
         probe_leaves()
     if which in ("manual", "all"):
         probe_manual_vjp()
+    if which in ("gamma", "all"):
+        probe_gamma()
