@@ -76,18 +76,32 @@ def measure_tpu(genome, K, batch, epochs, sweep_kwargs=None):
     tx = optax.sgd(0.001)
     opt_state = tx.init(params)
 
+    from jax import lax
+
     @jax.jit
-    def train_step(params, opt_state, key, site_idx):
-        batch_leaves = jnp.take(leaves, site_idx, axis=1)
+    def train_epoch(params, opt_state, key, batch_idx):
+        """All minibatch SGD steps of one epoch as a single jitted scan
+        (one dispatch instead of n_batches host round-trips)."""
 
-        def loss_fn(p):
-            return -sample_phylogenies(
-                key, batch_leaves, model, p, config
-            ).elbo
+        def step(carry, idx):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            batch_leaves = jnp.take(leaves, idx, axis=1)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+            def loss_fn(p):
+                return -sample_phylogenies(
+                    sub, batch_leaves, model, p, config
+                ).elbo
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state,
+                    key), loss
+
+        (params, opt_state, key), losses = lax.scan(
+            step, (params, opt_state, key), batch_idx
+        )
+        return params, opt_state, key, losses
 
     @jax.jit
     def eval_elbo(params, key):
@@ -99,12 +113,12 @@ def measure_tpu(genome, K, batch, epochs, sweep_kwargs=None):
 
     def one_epoch(params, opt_state, key):
         perm = rng.permutation(S)
-        for i in range(n_batches):
-            idx = jnp.asarray(perm[i * batch: (i + 1) * batch])
-            key, sub = jax.random.split(key)
-            params, opt_state, loss = train_step(
-                params, opt_state, sub, idx
-            )
+        batch_idx = jnp.asarray(
+            perm[: n_batches * batch].reshape(n_batches, batch)
+        )
+        params, opt_state, key, _ = train_epoch(
+            params, opt_state, key, batch_idx
+        )
         key, sub = jax.random.split(key)
         elbo = eval_elbo(params, sub)
         return params, opt_state, key, elbo

@@ -81,6 +81,10 @@ class TrainConfig:
     # sharding: name of a mesh axis layout, None = single device
     mesh_shape: Optional[tuple] = None
     log_every: int = 1
+    # run all of an epoch's minibatch SGD steps as ONE jitted lax.scan
+    # (single dispatch) instead of one jit call per step; per-step PRNG
+    # keys and math are identical (fold_in(epoch_key, 1+i) either way)
+    fused_epoch: bool = True
     # fault-injection harness for elastic/recovery testing:
     # "sigkill:E" hard-kills the process (uncatchable, simulates
     # preemption/power loss) and "raise:E" raises RuntimeError, at the
@@ -197,8 +201,7 @@ def train(dataset, config: TrainConfig):
             restore_checkpoint(resume_from, params, opt_state)
         )
 
-    @jax.jit
-    def train_step(params, opt_state, key, site_idx):
+    def _sgd_step(params, opt_state, key, site_idx):
         batch = jnp.take(leaves, site_idx, axis=1)
 
         def loss_fn(p):
@@ -210,6 +213,29 @@ def train(dataset, config: TrainConfig):
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    train_step = jax.jit(_sgd_step)
+
+    @jax.jit
+    def train_epoch(params, opt_state, epoch_key, batch_idx):
+        """One epoch's minibatch steps as a single scan -- one host
+        dispatch per epoch instead of one per step."""
+
+        def step_fn(carry, xs):
+            params, opt_state = carry
+            i, idx = xs
+            params, opt_state, loss = _sgd_step(
+                params, opt_state,
+                jax.random.fold_in(epoch_key, 1 + i), idx,
+            )
+            return (params, opt_state), loss
+
+        n = batch_idx.shape[0]
+        (params, opt_state), losses = jax.lax.scan(
+            step_fn, (params, opt_state),
+            (jnp.arange(n), batch_idx),
+        )
+        return params, opt_state, losses
 
     @jax.jit
     def eval_step(params, key):
@@ -294,11 +320,18 @@ def train(dataset, config: TrainConfig):
                     config.batch_size, drop_last=True,
                 )
             )
-        for i, site_idx in enumerate(batches):
-            params, opt_state, loss = train_step(
-                params, opt_state, jax.random.fold_in(epoch_key, 1 + i),
-                jnp.asarray(site_idx),
+        if config.fused_epoch and batches:
+            params, opt_state, _ = train_epoch(
+                params, opt_state, epoch_key,
+                jnp.asarray(np.stack(batches)),
             )
+        else:
+            for i, site_idx in enumerate(batches):
+                params, opt_state, loss = train_step(
+                    params, opt_state,
+                    jax.random.fold_in(epoch_key, 1 + i),
+                    jnp.asarray(site_idx),
+                )
 
         res = eval_step(params, jax.random.fold_in(epoch_key, 0))
         elbo = float(res.elbo)
