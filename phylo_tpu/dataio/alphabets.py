@@ -70,6 +70,15 @@ def one_hot_rows(alphabet: str = DNA_ALPHABET,
             row[alphabet.index(s.upper())] = 1.0
         rows[ch.upper()] = row
         rows[ch.lower()] = row
+    overlap = set(gap_chars.upper()) & set(alphabet.upper())
+    if overlap:
+        # e.g. the DNA default '-?Nn' against a custom amino-acid
+        # ordering containing N: silently turning a real state into
+        # missing data corrupts likelihoods -- fail loudly instead
+        raise ValueError(
+            f"gap_chars {sorted(overlap)} collide with alphabet "
+            f"states; pass explicit gap_chars for this alphabet"
+        )
     ones = np.ones(A)
     for ch in gap_chars:
         rows[ch] = ones
@@ -90,8 +99,15 @@ def encode_strings(strings, alphabet: str = DNA_ALPHABET,
     (defaults: DNA_AMBIGUITY / PROTEIN_AMBIGUITY by alphabet).
     """
     if gap_chars is None:
-        gap_chars = (PROTEIN_GAP_CHARS if alphabet == PROTEIN_ALPHABET
-                     else GAP_CHARS)
+        if alphabet == PROTEIN_ALPHABET:
+            gap_chars = PROTEIN_GAP_CHARS
+        elif alphabet == DNA_ALPHABET:
+            gap_chars = GAP_CHARS
+        else:
+            # custom alphabets: only the universally-safe gap set (the
+            # DNA default's N would collide with e.g. amino-acid
+            # orderings containing asparagine)
+            gap_chars = REFERENCE_GAP_CHARS
     if ambiguity is None:
         ambiguity = (PROTEIN_AMBIGUITY if alphabet == PROTEIN_ALPHABET
                      else DNA_AMBIGUITY if alphabet == DNA_ALPHABET

@@ -40,6 +40,8 @@ def resample_indices(key, log_weights, strategy="multinomial"):
         u = (jax.random.uniform(key, (K,), dtype=cdf.dtype) + jnp.arange(K)) / K
     else:
         raise ValueError(f"unknown resampling strategy {strategy!r}")
-    return jnp.searchsorted(
-        cdf, u, side="right", method="scan_unrolled"
-    ).astype(jnp.int32)
+    idx = jnp.searchsorted(cdf, u, side="right", method="scan_unrolled")
+    # side='right' can return K when a stratum's uniform rounds up to
+    # exactly 1.0 in f32 (u = (u0 + K-1)/K with u0 -> 1); clamp so the
+    # top particle, not an OOB index, is drawn
+    return jnp.minimum(idx, K - 1).astype(jnp.int32)

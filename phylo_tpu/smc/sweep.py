@@ -143,6 +143,8 @@ class SweepConfig:
     # Default False: measured at parity with XLA AD full-batch and
     # slower on small site batches (tools/perf_probe.py manual) -- flip
     # on for memory-tight configs (it frees the per-rank residuals).
+    # NOTE: the manual path only produces cotangents for `params`;
+    # gradients w.r.t. leaves / site_weights come back as zeros.
     manual_vjp: bool = False
     # block-structured merge contraction for product-space models
     # (GammaSites): G x fewer flops, wins VALUE-ONLY sweeps (~17%
@@ -239,6 +241,22 @@ def _resample_tables_bwd(res, cts):
 
 
 _resample_tables.defvjp(_resample_tables_fwd, _resample_tables_bwd)
+
+
+def _presample_transitions(model, model_params, rates_l, rates_r,
+                           eps_l, eps_r, dtype, blocked=False):
+    """Branch lengths b = eps / rate (pathwise-differentiable in the
+    rates) and ONE batched transition call for all ranks' branches.
+    Shared by the sweep prologue and the manual-VJP prologue
+    (sweep_vjp) so both linearize at identical values."""
+    b_l_all = eps_l / rates_l[:, None]
+    b_r_all = eps_r / rates_r[:, None]
+    transition = (model.transition_blocks if blocked
+                  else model.transition)
+    P_all = transition(
+        model_params, jnp.concatenate([b_l_all, b_r_all], axis=1)
+    ).astype(dtype)              # (R, 2K, A, A) / (R, 2K, G, A, A)
+    return b_l_all, b_r_all, P_all
 
 
 def _take_positions(arr, idx):
@@ -733,16 +751,19 @@ def _sample_body(key, leaves, model, params, config, *,
                 eps_r = jax.random.exponential(
                     k_br_all, (n_ranks, K), dtype=dtype
                 )
-            b_l_all = eps_l / rates_l[:, None]
-            b_r_all = eps_r / rates_r[:, None]
+            b_l_all, b_r_all, P_all = _presample_transitions(
+                model, params["model"], rates_l, rates_r, eps_l, eps_r,
+                dtype, blocked=blocks is not None,
+            )
         else:
             b_l_all = decisions["branches_l"].astype(dtype)
             b_r_all = decisions["branches_r"].astype(dtype)
-        transition = (model.transition_blocks if blocks is not None
-                      else model.transition)
-        P_all = transition(
-            params["model"], jnp.concatenate([b_l_all, b_r_all], axis=1)
-        ).astype(dtype)              # (R, 2K, A, A) / (R, 2K, G, A, A)
+            transition = (model.transition_blocks if blocks is not None
+                          else model.transition)
+            P_all = transition(
+                params["model"],
+                jnp.concatenate([b_l_all, b_r_all], axis=1),
+            ).astype(dtype)
         xs_dec.update(branches_l=b_l_all, branches_r=b_r_all)
         if injected is None:
             xs_dec.update(P_l=P_all[:, :K], P_r=P_all[:, K:])

@@ -42,6 +42,11 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
 
     Only called for eligible configs (twist=None, decisions=None,
     rescale=True, remat=False); see `SweepConfig.manual_vjp`.
+
+    LIMITATION: only the `params` cotangents are computed; gradients
+    w.r.t. `leaves` and `site_weights` are returned as ZEROS (training
+    never differentiates data or site weights -- the XLA-AD path
+    (manual_vjp=False) provides them if needed).
     """
     from phylo_tpu.smc.sweep import _sample_body
 
@@ -87,21 +92,21 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
             )
 
         def prologue(params):
-            # the (P_all, pi) linearization points -- the same ops the
-            # replay (and forward) run, split out so the scalar replay
-            # is differentiated ONCE and the dP_all/dpi cotangents pull
-            # back through a graph of just rates -> branches -> expm
+            # the (P_all, pi) linearization points -- the same helper
+            # the forward prologue uses (_presample_transitions), split
+            # out so the scalar replay is differentiated ONCE and the
+            # dP_all/dpi cotangents pull back through a graph of just
+            # rates -> branches -> expm
             from phylo_tpu.models.branches import branch_rates
+            from phylo_tpu.smc.sweep import _presample_transitions
 
             dtype = aux["eps_l"].dtype
             rates_l, rates_r = branch_rates(params["branches"])
-            rates_l = rates_l.astype(dtype)
-            rates_r = rates_r.astype(dtype)
-            b_l = aux["eps_l"] / rates_l[:, None]
-            b_r = aux["eps_r"] / rates_r[:, None]
-            P_all = model.transition(
-                params["model"], jnp.concatenate([b_l, b_r], axis=1)
-            ).astype(dtype)
+            _, _, P_all = _presample_transitions(
+                model, params["model"], rates_l.astype(dtype),
+                rates_r.astype(dtype), aux["eps_l"], aux["eps_r"],
+                dtype,
+            )
             pi = model.stationary(params["model"]).astype(dtype)
             return P_all, pi
 

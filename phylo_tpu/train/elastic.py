@@ -46,11 +46,16 @@ def train_elastic(dataset, config, max_restarts=3, retry_delay_s=0.0,
             "train_elastic needs checkpoint_every > 0 and a stable "
             "checkpoint_dir"
         )
-    cfg = dataclasses.replace(config, resume_from="auto")
+    # first attempt honors an explicit resume_from (e.g. warm-starting
+    # from another run's checkpoint); retries always pick up the latest
+    # checkpoint in this run's stable checkpoint_dir
+    cfg = (config if config.resume_from
+           else dataclasses.replace(config, resume_from="auto"))
+    retry_cfg = dataclasses.replace(config, resume_from="auto")
     last_exc = None
     for attempt in range(max_restarts + 1):
         try:
-            return train(dataset, cfg)
+            return train(dataset, cfg if attempt == 0 else retry_cfg)
         except KeyboardInterrupt:
             raise
         except Exception as exc:  # noqa: BLE001 -- supervisor boundary

@@ -113,3 +113,21 @@ def test_train_elastic_requires_stable_checkpoints(tmp_path):
     with pytest.raises(ValueError, match="checkpoint"):
         train_elastic(load_dataset("load_strings"),
                       TrainConfig(num_epoch=1))
+
+
+def test_train_elastic_honors_explicit_resume_from(tmp_path):
+    """An explicit resume_from (warm start) must not be silently
+    replaced with 'auto' on the first attempt."""
+    from phylo_tpu.dataio import load_dataset
+    from phylo_tpu.train.elastic import train_elastic
+    from phylo_tpu.train.trainer import TrainConfig
+
+    cfg = TrainConfig(
+        n_particles=4, batch_size=5, num_epoch=1, log_every=0,
+        save_artifacts=False, collect_trees=False,
+        collect_jump_chains=False, checkpoint_every=1,
+        checkpoint_dir=str(tmp_path / "ck"),
+        resume_from=str(tmp_path / "does_not_exist"),
+    )
+    with pytest.raises(FileNotFoundError):
+        train_elastic(load_dataset("load_strings"), cfg, max_restarts=0)

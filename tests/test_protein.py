@@ -92,3 +92,23 @@ def test_protein_sweep_end_to_end():
         if params["model"]:
             assert any(np.any(np.asarray(x) != 0)
                        for x in jax.tree.leaves(g["model"]))
+
+
+def test_detect_alphabet_tolerates_stray_unknown_bases():
+    # 'X' as an unknown base must not flip a DNA alignment to protein
+    assert detect_alphabet(["ACGTACGTX", "ACGTACGTA"]) == DNA_ALPHABET
+    # but a genuinely amino-acid alignment still routes to protein
+    assert detect_alphabet(["MKLVEFPQW", "MKLIEFPQW"]) == PROTEIN_ALPHABET
+
+
+def test_gap_chars_colliding_with_alphabet_raise():
+    import pytest
+
+    from phylo_tpu.dataio import one_hot_rows
+
+    with pytest.raises(ValueError, match="collide"):
+        one_hot_rows("ARN", gap_chars="-?Nn")
+    # custom alphabets default to the safe '-?' gap set: N stays a state
+    g = encode_strings(["ARN-"], alphabet="ARN")
+    np.testing.assert_array_equal(g[0, 2], [0, 0, 1])
+    np.testing.assert_array_equal(g[0, 3], [1, 1, 1])

@@ -59,3 +59,26 @@ def test_uniform_pair_is_uniform_over_active_prefix():
     assert len(counts) == 10
     freq = counts / K
     np.testing.assert_allclose(freq, 0.1, atol=0.02)
+
+
+def test_cdf_schemes_never_return_out_of_range_indices():
+    """side='right' searchsorted can hit K when the top stratum's
+    uniform rounds to 1.0 in f32; the clamp must keep indices < K."""
+    import jax
+    import jax.numpy as jnp
+
+    from phylo_tpu.smc.resampling import resample_indices
+
+    K = 2048
+    # the clamp target: an exactly-1.0 query really does return K
+    ones_cdf = jnp.ones((K,), jnp.float32)
+    raw = jnp.searchsorted(ones_cdf, jnp.float32(1.0), side="right",
+                           method="scan_unrolled")
+    assert int(raw) == K          # the hazard being clamped
+    lw = jax.random.normal(jax.random.PRNGKey(0), (K,), jnp.float32)
+    for strategy in ("systematic", "stratified"):
+        for seed in range(25):
+            idx = resample_indices(jax.random.PRNGKey(seed), lw,
+                                   strategy)
+            assert int(jnp.max(idx)) < K
+            assert int(jnp.min(idx)) >= 0
