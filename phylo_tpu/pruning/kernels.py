@@ -714,6 +714,12 @@ def _dw_ref(m1, m2, P_l, P_r, pi, g):
     return jnp.sum(g[:, :, None] * jnp.log(site_lik), axis=(0, 1))
 
 
+# tile-size overrides for tools/twist_bwd_tiles.py A/B sweeps; None =
+# the defaults below
+_BWD_TK = None
+_BWD_TS = None
+
+
 def _pair_ll_bwd_pallas(m1, m2, P_l, P_r, pi, weights, g):
     """Exact cotangents of _pair_ll_ref in one streaming Pallas pass.
 
@@ -726,8 +732,9 @@ def _pair_ll_bwd_pallas(m1, m2, P_l, P_r, pi, weights, g):
     M, K, A, _ = P_l.shape
     S = m1.shape[-1]
     dtype = m1.dtype
-    if K >= 128:
-        tk = 128
+    tk_default = _BWD_TK or 128
+    if K >= tk_default:
+        tk = tk_default
         Kp = _round_up(K, tk)
     else:
         tk = Kp = _round_up(K, 8)
@@ -735,7 +742,7 @@ def _pair_ll_bwd_pallas(m1, m2, P_l, P_r, pi, weights, g):
     # smaller site tile than the forward: the body carries ~20 (tk, ts)
     # scratch arrays (u, v, dm accumulators), and (tk=128, ts=512)
     # overflowed the 16 MB scoped-vmem limit by ~1 MB
-    ts = TS_MAX // 2
+    ts = _BWD_TS or (TS_MAX // 2)
     while ts > TS and Sp % ts:
         ts -= TS
     n_ik = Kp // tk
