@@ -738,11 +738,17 @@ def _pair_ll_bwd_pallas(m1, m2, P_l, P_r, pi, weights, g):
         Kp = _round_up(K, tk)
     else:
         tk = Kp = _round_up(K, 8)
-    Sp = _round_up(S, TS)
-    # smaller site tile than the forward: the body carries ~20 (tk, ts)
-    # scratch arrays (u, v, dm accumulators), and (tk=128, ts=512)
-    # overflowed the 16 MB scoped-vmem limit by ~1 MB
-    ts = _BWD_TS or (TS_MAX // 2)
+    # full-width site tile: under the raised 64 MB scoped-vmem budget
+    # ts=512 beats the old 256 default 6.5 vs 10.4 ms at the primate
+    # one-chunk shape (M=10, CK=2112, S=1024); ts=1024 is only
+    # marginally better (6.4) and divides fewer padded-S values, and
+    # (tk=512 / ts-beyond-1024) tiles fail to compile
+    # (tools/twist_bwd_tiles.py sweep).  Sequences >= 512 sites pad up
+    # to a 512 multiple so the fast tile always applies (<= 7.7% extra
+    # weight-0 columns vs a ~35% faster kernel, e.g. betacorona
+    # 3328 -> 3584).
+    Sp = _round_up(S, TS_MAX if S >= TS_MAX else TS)
+    ts = _BWD_TS or TS_MAX
     while ts > TS and Sp % ts:
         ts -= TS
     n_ik = Kp // tk
