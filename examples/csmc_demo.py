@@ -5,6 +5,11 @@ probabilities, and draw the best genealogy.
 Run:  python examples/csmc_demo.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from phylo_tpu.dataio import dataset_from_strings
 from phylo_tpu.smc.csmc import CSMC
 from phylo_tpu.viz.plots import draw_tree

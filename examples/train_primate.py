@@ -4,6 +4,11 @@
 Run:  python examples/train_primate.py [--epochs 20] [--K 256]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 from phylo_tpu.dataio import load_dataset
