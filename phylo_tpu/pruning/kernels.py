@@ -839,8 +839,15 @@ def _pair_loglik_fwd(m1, m2, P_l, P_r, pi, weights):
             (m1, m2, P_l, P_r, pi, weights))
 
 
+# env knob for A/B probes: 0 forces XLA's VJP of the reference impl
+# even on TPU (tools/perf_probe.py twist)
+import os as _os
+
+TWIST_BWD_KERNEL = _os.environ.get("PHYLO_TWIST_BWD_KERNEL", "1") == "1"
+
+
 def _pair_loglik_bwd(res, g):
-    if jax.default_backend() == "tpu" or INTERPRET:
+    if TWIST_BWD_KERNEL and (jax.default_backend() == "tpu" or INTERPRET):
         return _pair_ll_bwd_pallas(*res, g)
     _, vjp = jax.vjp(_pair_ll_ref, *res)
     return vjp(g)
