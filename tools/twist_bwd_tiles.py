@@ -41,8 +41,8 @@ def time_fn(fn, iters=20):
 
 
 ref = None
-for tk, ts in [(128, 256), (128, 128), (64, 256), (64, 512), (256, 256),
-               (128, 512)]:
+for tk, ts in [(128, 512), (128, 1024), (256, 512), (512, 512),
+               (256, 1024)]:
     kernels._BWD_TK = tk
     kernels._BWD_TS = ts
 
