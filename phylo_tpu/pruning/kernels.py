@@ -645,8 +645,13 @@ def _kernel_ll_bwd(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
     # scoped-vmem budget 5x (Mosaic pads the trailing 1 to 128 lanes)
     def body(m, carry):
         dm1, dm2 = carry
-        pl_c = [pl_ref[m, :, c][:, None] for c in range(A * A)]
-        pr_c = [pr_ref[m, :, c][:, None] for c in range(A * A)]
+        # ONE dynamic-index read per operand, then static column
+        # slices (32 separate pl_ref[m, :, c] dynamic reads measured
+        # slower)
+        P_row_l = pl_ref[m]                     # (tk, A*A)
+        P_row_r = pr_ref[m]
+        pl_c = [P_row_l[:, c][:, None] for c in range(A * A)]
+        pr_c = [P_row_r[:, c][:, None] for c in range(A * A)]
         u = []
         v = []
         site_lik = None
@@ -738,19 +743,24 @@ def _pair_ll_bwd_pallas(m1, m2, P_l, P_r, pi, weights, g):
         Kp = _round_up(K, tk)
     else:
         tk = Kp = _round_up(K, 8)
-    # full-width site tile: under the raised 64 MB scoped-vmem budget
-    # ts=512 beats the old 256 default 6.5 vs 10.4 ms at the primate
-    # one-chunk shape (M=10, CK=2112, S=1024); ts=1024 is only
-    # marginally better (6.4) and divides fewer padded-S values, and
-    # (tk=512 / ts-beyond-1024) tiles fail to compile
-    # (tools/twist_bwd_tiles.py sweep).  Sequences >= 512 sites pad up
-    # to a 512 multiple so the fast tile always applies (<= 7.7% extra
-    # weight-0 columns vs a ~35% faster kernel, e.g. betacorona
-    # 3328 -> 3584).
-    Sp = _round_up(S, TS_MAX if S >= TS_MAX else TS)
-    ts = _BWD_TS or TS_MAX
-    while ts > TS and Sp % ts:
-        ts -= TS
+    # Site tile + padding chosen together by a measured cost model:
+    # larger tiles amortize per-program overhead (tools/twist_bwd_tiles
+    # sweep at M=10, CK=2112, S=1024: ts=256/512/1024 run 10.4/6.5/4.6
+    # ms per call under the 64 MB scoped-vmem budget; tk=512 and
+    # ts>1024 fail to compile), but padding S up to the tile multiple
+    # costs weight-0 columns.  Minimizing padded-sites x per-site tile
+    # cost picks e.g. ts=1024 for betacorona (3328 -> 4096: +23%
+    # columns, -29% per site) and ts=256 for 256-site minibatches.
+    if _BWD_TS is not None:
+        ts = max(_BWD_TS, TS)
+        Sp = _round_up(S, ts)
+    else:
+        _, ts, Sp = min(
+            (Sp_c * c, cand, Sp_c)
+            for cand, c in ((1024, 0.44), (512, 0.62), (256, 1.0),
+                            (TS, 1.25))
+            for Sp_c in (_round_up(S, cand),)
+        )
     n_ik = Kp // tk
     n_js = Sp // ts
 
