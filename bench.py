@@ -225,8 +225,10 @@ def measure_details():
     step_time("betacorona1", 32, dict(twist=TwistConfig(M=10)), 3,
               "vncsmc_betacorona_step")
     # 5. Hohna DS1 at K=2048 (site sharding validated on the virtual
-    #    mesh; single chip here)
+    #    mesh; single chip here); the full-S train step exercises the
+    #    manual whole-sweep VJP (auto-enabled at this scale)
     fwd_time("hohna_data_1", ReferenceQ, 2048, iters=5, label="ds1_2048")
+    step_time("hohna_data_1", 2048, None, 3, "ds1_2048_step")
 
     # 6. VNCSMC epoch on primate at the reference's ACTIVE sweep config
     #    (autorun.sh:3-12: nested=true, K=32, M=10, batch 256), compared

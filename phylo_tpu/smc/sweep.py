@@ -140,12 +140,14 @@ class SweepConfig:
     # fall back to XLA AD.  Gradient semantics are identical (biased
     # resampling gradient: indices constant, gathered values
     # differentiable; matches XLA AD to 1e-8 in tests/test_sweep_vjp).
-    # Default False: measured at parity with XLA AD full-batch and
-    # slower on small site batches (tools/perf_probe.py manual) -- flip
-    # on for memory-tight configs (it frees the per-rank residuals).
-    # NOTE: the manual path only produces cotangents for `params`;
-    # gradients w.r.t. leaves / site_weights come back as zeros.
-    manual_vjp: bool = False
+    # "auto" (default) enables it when N * S >= 16384: it avoids XLA
+    # AD's per-rank residual stacking, winning at scale (DS1 27x1949
+    # K=2048 fwd+bwd 203 -> 177 ms) while losing slightly on small
+    # minibatches (primate batch-256: 15.3 -> 16.5 ms); True/False
+    # force it.  NOTE: the manual path only produces cotangents for
+    # `params`; gradients w.r.t. leaves / site_weights come back as
+    # zeros.
+    manual_vjp: Any = "auto"
     # block-structured merge contraction for product-space models
     # (GammaSites): G x fewer flops, wins VALUE-ONLY sweeps (~17%
     # faster forward at G=4) but regresses fwd+bwd -- enable for
@@ -331,7 +333,10 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     VJP (smc.sweep_vjp), which replaces XLA's reverse-scan over the
     O(K N A S) message-buffer cotangent with a compact hand-written
     reverse pass (ROADMAP item 1)."""
-    if (config.manual_vjp and config.twist is None and decisions is None
+    manual = config.manual_vjp
+    if manual == "auto":
+        manual = leaves.shape[0] * leaves.shape[1] >= 16384
+    if (manual and config.twist is None and decisions is None
             and config.rescale and not config.remat
             and not config.blocked_merge):
         from phylo_tpu.smc.sweep_vjp import sweep_manual_vjp
