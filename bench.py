@@ -105,7 +105,9 @@ def measure_tpu(genome, K, batch, epochs, sweep_kwargs=None):
 
     @jax.jit
     def eval_elbo(params, key):
-        return sample_phylogenies(key, leaves, model, params, config).elbo
+        return sample_phylogenies(
+            key, leaves, model, params, config
+        ).elbo
 
     rng = np.random.default_rng(0)
     n_batches = max(1, S // batch)

@@ -326,6 +326,67 @@ def _compact_positions(arr, perm, merge_pos, new_value):
     return jnp.where(at_merge, new_value[:, None], out)
 
 
+def make_leaf_buffer(leaves, config, dtype=None, model=None):
+    """Pre-build the unified message buffer for `sample_phylogenies`'s
+    `leaf_buffer=` fast path: leaves replicated into columns 0..N-1
+    (padded to the kernel site tile), internal columns zeros.
+
+    Rebuilding this (K, N+R, A, Sp) buffer inside every sweep costs a
+    ~2 ms concatenate at primate/K=2048; eval loops over FIXED leaves
+    can build it once and thread it through calls with donation
+    (`sample_phylogenies_with_buffer`) -- the sweep only ever writes
+    internal columns, so the returned buffer is immediately reusable.
+
+    STATUS: measured NO WIN on v5e (donated-buffer eval 14.75 ms vs
+    12.57 plain at primate/K=2048 -- XLA fuses the in-jit buffer build
+    better than it schedules around the input/output alias), so the
+    trainer and bench keep the plain path; this entry point remains
+    for memory-constrained loops where avoiding the second buffer
+    allocation matters more than latency.
+    """
+    N, S, A = leaves.shape
+    dtype = dtype or leaves.dtype
+    K = config.K
+    sm = jnp.swapaxes(jnp.asarray(leaves, dtype), -1, -2)  # (N, A, S)
+    # mirror _sample_body's use_pallas padding decision exactly (a
+    # blocked-merge model disables the kernel and its padding)
+    blocked = (config.blocked_merge and model is not None
+               and hasattr(model, "transition_blocks"))
+    if (config.use_pallas and config.rescale and A <= 8
+            and not blocked
+            and jax.default_backend() == "tpu"):
+        from phylo_tpu.pruning.kernels import TS
+
+        Sp = -(-S // TS) * TS
+        if Sp != S:
+            sm = jnp.pad(sm, ((0, 0), (0, 0), (0, Sp - S)),
+                         constant_values=1.0)
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(sm[None], (K,) + sm.shape),
+            jnp.zeros((K, N - 1) + sm.shape[1:], dtype=dtype),
+        ],
+        axis=1,
+    )
+
+
+def sample_phylogenies_with_buffer(key, leaves, model, params, config,
+                                   leaf_buffer, *, shardings=None,
+                                   site_weights=None):
+    """`sample_phylogenies` with a pre-built unified buffer (see
+    `make_leaf_buffer`); returns (SweepResult, final_buffer).  The
+    final buffer's leaf columns are untouched, so callers can donate it
+    straight back into the next call.  Value-only sweeps (eval loops);
+    requires replicate_leaves and takes the plain XLA path."""
+    assert config.replicate_leaves and config.twist is None
+    res, final_buf = _sample_body(
+        key, leaves, model, params, config, shardings=shardings,
+        site_weights=site_weights, leaf_buffer=leaf_buffer,
+        want_buffer=True,
+    )
+    return res, final_buf
+
+
 def sample_phylogenies(key, leaves, model, params, config, *,
                        decisions=None, shardings=None, site_weights=None):
     """Run one full CSMC sweep.  See `_sample_body` for the mechanics;
@@ -350,7 +411,8 @@ def sample_phylogenies(key, leaves, model, params, config, *,
 
 def _sample_body(key, leaves, model, params, config, *,
                  decisions=None, shardings=None, site_weights=None,
-                 injected=None, want_aux=False):
+                 injected=None, want_aux=False, leaf_buffer=None,
+                 want_buffer=False):
     """Run one full CSMC sweep.
 
     Parameters
@@ -441,7 +503,13 @@ def _sample_body(key, leaves, model, params, config, *,
         from phylo_tpu.smc.twist import twisted_extend  # lazy import
 
     if injected is None:
-        if config.replicate_leaves:
+        if leaf_buffer is not None:
+            # pre-built (and typically donated) unified buffer: leaf
+            # columns already replicated, internal columns are
+            # write-before-read so any leftover content is fine
+            assert config.replicate_leaves
+            internal_msgs0 = leaf_buffer
+        elif config.replicate_leaves:
             # unified buffer: leaves replicated in columns 0..N-1,
             # internal node q at column N+q -> child fetch is one
             # gather, no select
@@ -844,6 +912,8 @@ def _sample_body(key, leaves, model, params, config, *,
             d_lsc=outs["d_lsc"],
         )
         return result, aux
+    if want_buffer:
+        return result, final["internal_msgs"]
     return result
 
 

@@ -120,3 +120,34 @@ def test_manual_vjp_jc69_value_and_grad():
     for a, b in zip(jax.tree.leaves(g_manual), jax.tree.leaves(g_auto)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-8, atol=1e-12)
+
+
+def test_buffered_eval_matches_plain_sweep():
+    """sample_phylogenies_with_buffer: identical results to the plain
+    sweep, and the returned buffer is immediately reusable (the sweep
+    only writes internal columns)."""
+    from phylo_tpu.smc.sweep import (
+        make_leaf_buffer,
+        sample_phylogenies_with_buffer,
+    )
+
+    genome, model, params = _setup()
+    key = jax.random.PRNGKey(9)
+    cfg = SweepConfig(K=8)
+    leaves = genome
+    plain = sample_phylogenies(key, leaves, model, params, cfg)
+
+    buf = make_leaf_buffer(leaves, cfg, model=model)
+    res1, buf = sample_phylogenies_with_buffer(
+        key, leaves, model, params, cfg, buf
+    )
+    # reuse the returned buffer (internal columns now hold stale
+    # messages -- they are write-before-read)
+    res2, buf = sample_phylogenies_with_buffer(
+        key, leaves, model, params, cfg, buf
+    )
+    for r in (res1, res2):
+        np.testing.assert_array_equal(np.asarray(r.elbo),
+                                      np.asarray(plain.elbo))
+        np.testing.assert_array_equal(np.asarray(r.log_weights),
+                                      np.asarray(plain.log_weights))
