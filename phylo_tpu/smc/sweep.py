@@ -140,13 +140,15 @@ class SweepConfig:
     # fall back to XLA AD.  Gradient semantics are identical (biased
     # resampling gradient: indices constant, gathered values
     # differentiable; matches XLA AD to 1e-8 in tests/test_sweep_vjp).
-    # "auto" (default) enables it when N * S >= 16384: it avoids XLA
-    # AD's per-rank residual stacking, winning at scale (DS1 27x1949
-    # K=2048 fwd+bwd 203 -> 177 ms) while losing slightly on small
-    # minibatches (primate batch-256: 15.3 -> 16.5 ms); True/False
-    # force it.  NOTE: the manual path only produces cotangents for
-    # `params`; gradients w.r.t. leaves / site_weights come back as
-    # zeros.
+    # "auto" (default) enables it when N * S >= 16384 AND N <= 64: it
+    # avoids XLA AD's per-rank residual stacking, winning at scale (DS1
+    # 27x1949 K=2048 fwd+bwd 203 -> 177 ms) while losing slightly on
+    # small minibatches (primate batch-256: 15.3 -> 16.5 ms); True /
+    # False force it.  The N cap bounds the reverse pass's Python
+    # unroll (N-1 straight-line rank blocks) so many-taxa datasets
+    # don't blow compile time; explicit manual_vjp=True overrides it.
+    # Cotangents are produced for params, leaves AND site_weights
+    # (leaf/weight chains are dead-code-eliminated when unused).
     manual_vjp: Any = "auto"
     # block-structured merge contraction for product-space models
     # (GammaSites): G x fewer flops, wins VALUE-ONLY sweeps (~17%
@@ -396,7 +398,8 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     reverse pass (ROADMAP item 1)."""
     manual = config.manual_vjp
     if manual == "auto":
-        manual = leaves.shape[0] * leaves.shape[1] >= 16384
+        N, S = leaves.shape[0], leaves.shape[1]
+        manual = N * S >= 16384 and N <= 64
     if (manual and config.twist is None and decisions is None
             and config.rescale and not config.remat
             and not config.blocked_merge):

@@ -43,10 +43,15 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
     Only called for eligible configs (twist=None, decisions=None,
     rescale=True, remat=False); see `SweepConfig.manual_vjp`.
 
-    LIMITATION: only the `params` cotangents are computed; gradients
-    w.r.t. `leaves` and `site_weights` are returned as ZEROS (training
-    never differentiates data or site weights -- the XLA-AD path
-    (manual_vjp=False) provides them if needed).
+    Cotangents are produced for `params`, `leaves` AND `site_weights`
+    (matching XLA AD): leaves/site-weights reach the loss through (a)
+    the leaf root log-likelihoods, covered by differentiating the
+    scalar replay w.r.t. them, and (b) the message DAG, covered by
+    accumulating leaf-child cotangents / per-rank weight cotangents in
+    `_messages_bwd`.  Both accumulations are plain jnp feeding only the
+    dleaves/dweights outputs, so XLA dead-code-eliminates them whenever
+    the caller differentiates params only (the training hot path pays
+    nothing for them).
     """
     from phylo_tpu.smc.sweep import _sample_body
 
@@ -78,7 +83,10 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
             do_resample=aux["do_resample"],
         )
 
-        def replay(params, rootll_raw, d_lsc):
+        def replay(params, leaves, site_weights, rootll_raw, d_lsc):
+            # leaves/site_weights are diff args: on the injected path
+            # they reach the result only through the leaf root
+            # log-likelihoods (messages are injected scalars)
             res2, _cut = _sample_body(
                 key, leaves, model, params, config,
                 shardings=shardings, site_weights=site_weights,
@@ -116,23 +124,34 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
             ct.q_proposal,
         )
         _, vjp_replay = jax.vjp(
-            replay, params, aux["rootll_raw"], aux["d_lsc"]
+            replay, params, leaves, site_weights,
+            aux["rootll_raw"], aux["d_lsc"],
         )
-        dparams_a, g_rootll, g_dlsc = vjp_replay(ct_f)
+        dparams_a, dleaves_a, dsw_a, g_rootll, g_dlsc = vjp_replay(ct_f)
 
         (P_all, pi), vjp_prologue = jax.vjp(prologue, params)
-        dP_all, dpi = _messages_bwd(
+        dP_all, dpi, dleaves_sm, dw_sm = _messages_bwd(
             aux, P_all, pi, g_rootll, g_dlsc, N, config, shardings
         )
         (dparams_b,) = vjp_prologue((dP_all, dpi))
         dparams = jax.tree.map(jnp.add, dparams_a, dparams_b)
 
+        # message-DAG contributions back to caller layout: leaves_sm is
+        # states-major (N, A, Sp) with the site axis padded to the
+        # kernel tile (pad columns are constants -> their cotangents
+        # are discarded by the slice)
+        S = leaves.shape[1]
+        dleaves = dleaves_a + jnp.swapaxes(dleaves_sm[:, :, :S], -1, -2)
+        if site_weights is None:
+            dsw = None
+        else:
+            dsw = dsw_a + dw_sm[:S].astype(site_weights.dtype)
+
         return (
             dparams,
             np.zeros(key.shape, dtype=jax.dtypes.float0),
-            jnp.zeros_like(leaves),
-            (None if site_weights is None
-             else jnp.zeros_like(site_weights)),
+            dleaves,
+            dsw,
         )
 
     f.defvjp(f_fwd, f_bwd)
@@ -178,8 +197,10 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
       2. run the merge-op backward with cotangents (pending column,
          g_rootll[r], g_dlsc[r]) to get child-message and
          transition-matrix cotangents;
-      3. scatter-add the internal-child cotangents into `pending`
-         (leaf children are constants and dropped via OOB indices).
+      3. scatter-add the internal-child cotangents into `pending`;
+         leaf-child cotangents accumulate into a (N, A, Sp) dleaves
+         buffer (summed over particles -- every particle's leaf column
+         is a broadcast copy of the same leaf message).
 
     The loop is a PYTHON loop (straight-line XLA): R = N-1 is small and
     static, the pending-column reads become static slices, and XLA
@@ -187,7 +208,10 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
     measured 7.6 ms/run of reverse-while carry overhead at
     primate/K=2048 (tools/vjp_trace.py).
 
-    Returns (dP_all (R, 2K, A, A), dpi (A,)).
+    Returns (dP_all (R, 2K, A, A), dpi (A,), dleaves_sm (N, A, Sp),
+    dweights (Sp,)).  The dleaves/dweights chains feed only their own
+    outputs, so XLA dead-code-eliminates them when the caller
+    differentiates params alone.
     """
     buf = aux["buf"]                          # (K, C, A, Sp)
     leaves_sm = aux["leaves_sm"]              # (N, A, Sp)
@@ -206,6 +230,8 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
     dPl_out = [None] * R
     dPr_out = [None] * R
     dpi = jnp.zeros_like(pi)
+    dleaves = jnp.zeros_like(leaves_sm)
+    dw = jnp.zeros((Sp,), buf.dtype)
     for r in range(R - 1, -1, -1):
         rows, ids = rows_all[r], ids_all[r]
         cot_merged = pending[:, r]
@@ -226,16 +252,28 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
             m = jnp.where(is_leaf[..., None, None], leaf_part, int_part)
             m1, m2 = m[:, 0], m[:, 1]
 
-        dm1, dm2, dPl, dPr, dpi_r, _dw = _merge_bwd(
+        dm1, dm2, dPl, dPr, dpi_r, dw_r = _merge_bwd(
             (m1, m2, P_l_all[r], P_r_all[r], pi, w_vec),
             (cot_merged, g_rootll[r], g_dlsc[r]),
         )
         dPl_out[r], dPr_out[r] = dPl, dPr
         dpi = dpi + dpi_r
+        dw = dw + dw_r
+
+        # leaf children accumulate into dleaves.  Internal children are
+        # dropped via a HIGH out-of-bounds sentinel: mode="drop"
+        # normalizes NEGATIVE indices first (-1 wraps to the last slot
+        # and silently corrupts it), only indices >= size are dropped.
+        idl = jnp.where(is_leaf, ids, N)
+        dleaves = dleaves.at[idl[:, 0]].add(dm1, mode="drop")
+        dleaves = dleaves.at[idl[:, 1]].add(dm2, mode="drop")
 
         if r:
-            # internal children accumulate; leaf children drop (OOB -1)
-            qd = jnp.where(is_leaf, -1, ids - N)
+            # internal children accumulate; leaf children drop (same
+            # high-OOB sentinel: a -1 here wrapped into column R-1,
+            # latent-harmless only because reverse step R-1 had already
+            # consumed that column)
+            qd = jnp.where(is_leaf, R, ids - N)
             pending = pending.at[rows[:, 0], qd[:, 0]].add(
                 dm1, mode="drop"
             )
@@ -246,4 +284,4 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
     dP_all = jnp.concatenate(
         [jnp.stack(dPl_out), jnp.stack(dPr_out)], axis=1
     )                                          # (R, 2K, A, A)
-    return dP_all, dpi
+    return dP_all, dpi, dleaves, dw

