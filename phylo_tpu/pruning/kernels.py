@@ -719,6 +719,98 @@ def _dw_ref(m1, m2, P_l, P_r, pi, g):
     return jnp.sum(g[:, :, None] * jnp.log(site_lik), axis=(0, 1))
 
 
+def _kernel_ll_bwd2(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
+                    g_ref, dm1_ref, dm2_ref, t_ref, *, A, M):
+    """v2 of the streaming pair-loglik backward (round 3).
+
+    Replaces the per-(m, a, b) dP column reductions of _kernel_ll_bwd
+    (2 A^2 cross-lane reduces per subsample) with the shared bilinear
+    form
+
+        T[a, a'] = sum_s gsite_m * m1[a] * m2[a']            (A^2 reduces)
+
+    from which BOTH transition cotangents follow by tiny per-particle
+    contractions done OUTSIDE the kernel (dP_l[a,b] = pi_b sum_a'
+    T[a,a'] P_r[a',b]; dP_r[a',b] = pi_b sum_a T[a,a'] P_l[a,b]):
+    half the reductions, and the dm accumulation reorganized through
+    vbar/ubar so du/dv planes are never materialized.
+    """
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    js = pl.program_id(1)
+    w = w_ref[:]                                        # (1, TS)
+    tk, _, ts = m1_ref.shape
+    dtype = w.dtype
+    zero = jnp.zeros((tk, ts), dtype)
+
+    @pl.when(js == 0)
+    def _():
+        t_ref[:] = jnp.zeros_like(t_ref)
+
+    def body(m, carry):
+        dm1, dm2 = carry
+        P_row_l = pl_ref[m]                     # (tk, A*A)
+        P_row_r = pr_ref[m]
+        pl_c = [P_row_l[:, c][:, None] for c in range(A * A)]
+        pr_c = [P_row_r[:, c][:, None] for c in range(A * A)]
+        u = []
+        pv = []       # pi_b * v_b
+        pu = []       # pi_b * u_b
+        site_lik = None
+        for b in range(A):
+            u_b = None
+            v_b = None
+            for a in range(A):
+                tu = m1_ref[:, a, :] * pl_c[a * A + b]
+                tv = m2_ref[:, a, :] * pr_c[a * A + b]
+                u_b = tu if u_b is None else u_b + tu
+                v_b = tv if v_b is None else v_b + tv
+            u.append(u_b)
+            pv_b = v_b * pi_ref[0, b]
+            pv.append(pv_b)
+            pu.append(u_b * pi_ref[0, b])
+            term = u_b * pv_b
+            site_lik = term if site_lik is None else site_lik + term
+
+        g = g_ref[m, :][:, None]                        # (TK, 1)
+        gsite = (g * w) / site_lik                      # (TK, TS)
+
+        # T[a, a'] = sum_s gsite * m1[a] * m2[a']
+        t_cols = [None] * (A * A)
+        for a in range(A):
+            gm1_a = gsite * m1_ref[:, a, :]
+            for a2 in range(A):
+                t_cols[a * A + a2] = jnp.sum(
+                    gm1_a * m2_ref[:, a2, :], axis=-1
+                )
+        t_ref[m] += jnp.stack(t_cols, axis=-1)          # (TK, A*A)
+
+        # dm1[a] = gsite * sum_b P_l[a,b] pi_b v_b (and mirrored)
+        dm1 = list(dm1)
+        dm2 = list(dm2)
+        for a in range(A):
+            vbar = None
+            ubar = None
+            for b in range(A):
+                tvb = pl_c[a * A + b] * pv[b]
+                tub = pr_c[a * A + b] * pu[b]
+                vbar = tvb if vbar is None else vbar + tvb
+                ubar = tub if ubar is None else ubar + tub
+            dm1[a] = dm1[a] + gsite * vbar
+            dm2[a] = dm2[a] + gsite * ubar
+        return tuple(dm1), tuple(dm2)
+
+    init = (
+        tuple(zero for _ in range(A)),
+        tuple(zero for _ in range(A)),
+    )
+    dm1, dm2 = lax.fori_loop(0, M, body, init)
+    for a in range(A):
+        dm1_ref[:, a, :] = dm1[a]
+        dm2_ref[:, a, :] = dm2[a]
+
+
 # tile-size overrides for tools/twist_bwd_tiles.py A/B sweeps; None =
 # the defaults below
 _BWD_TK = None
@@ -780,8 +872,7 @@ def _pair_ll_bwd_pallas(m1, m2, P_l, P_r, pi, weights, g):
                             memory_space=pltpu.VMEM)
     p_spec = pl.BlockSpec((M, tk, A * A), lambda ik, js: (0, ik, 0),
                           memory_space=pltpu.VMEM)
-    dm1, dm2, dpl_out, dpr_out = pl.pallas_call(
-        functools.partial(_kernel_ll_bwd, A=A, M=M),
+    common = dict(
         grid=(n_ik, n_js),
         interpret=INTERPRET,
         # the body keeps ~20 (tk, ts) scratch arrays live (u/v planes +
@@ -800,21 +891,47 @@ def _pair_ll_bwd_pallas(m1, m2, P_l, P_r, pi, weights, g):
             pl.BlockSpec((M, tk), lambda ik, js: (0, ik),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            msg_spec, msg_spec,
-            # accumulated over the (innermost, consecutive) js steps
-            p_spec, p_spec,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Kp, A, Sp), dtype),
-            jax.ShapeDtypeStruct((Kp, A, Sp), dtype),
-            jax.ShapeDtypeStruct((M, Kp, A * A), dtype),
-            jax.ShapeDtypeStruct((M, Kp, A * A), dtype),
-        ],
-    )(m1k, m2k, pk_l, pk_r, pi[None], wk, gk)
-
-    dpl = dpl_out[:, :K].reshape(M, K, A, A)
-    dpr = dpr_out[:, :K].reshape(M, K, A, A)
+    )
+    if TWIST_BWD_V2:
+        dm1, dm2, t_out = pl.pallas_call(
+            functools.partial(_kernel_ll_bwd2, A=A, M=M),
+            out_specs=[msg_spec, msg_spec, p_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((Kp, A, Sp), dtype),
+                jax.ShapeDtypeStruct((Kp, A, Sp), dtype),
+                jax.ShapeDtypeStruct((M, Kp, A * A), dtype),
+            ],
+            **common,
+        )(m1k, m2k, pk_l, pk_r, pi[None], wk, gk)
+        # the tiny per-particle A^3 contractions run OUTSIDE the kernel
+        # (exact f32 broadcast multiply-add, never dot_general):
+        #   dP_l[a,b] = pi_b sum_a' T[a,a'] P_r[a',b]
+        #   dP_r[a',b] = pi_b sum_a  T[a,a'] P_l[a,b]
+        T = t_out[:, :K].reshape(M, K, A, A)
+        dpl = pi * jnp.sum(
+            T[..., :, :, None] * P_r[..., None, :, :], axis=-2
+        )
+        dpr = pi * jnp.sum(
+            T[..., :, :, None] * P_l[..., :, None, :], axis=-3
+        )
+    else:
+        dm1, dm2, dpl_out, dpr_out = pl.pallas_call(
+            functools.partial(_kernel_ll_bwd, A=A, M=M),
+            out_specs=[
+                msg_spec, msg_spec,
+                # accumulated over the (innermost, consecutive) js steps
+                p_spec, p_spec,
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Kp, A, Sp), dtype),
+                jax.ShapeDtypeStruct((Kp, A, Sp), dtype),
+                jax.ShapeDtypeStruct((M, Kp, A * A), dtype),
+                jax.ShapeDtypeStruct((M, Kp, A * A), dtype),
+            ],
+            **common,
+        )(m1k, m2k, pk_l, pk_r, pi[None], wk, gk)
+        dpl = dpl_out[:, :K].reshape(M, K, A, A)
+        dpr = dpr_out[:, :K].reshape(M, K, A, A)
     # the site-weights cotangent (needed only if someone differentiates
     # the weights, which training never does) stays OUTSIDE the custom
     # call as plain jnp so XLA dead-code-eliminates it -- in-kernel it
@@ -854,6 +971,9 @@ def _pair_loglik_fwd(m1, m2, P_l, P_r, pi, weights):
 import os as _os
 
 TWIST_BWD_KERNEL = _os.environ.get("PHYLO_TWIST_BWD_KERNEL", "1") == "1"
+# v2 T-matrix backward kernel (_kernel_ll_bwd2, half the cross-lane
+# reduces); 0 falls back to the round-2 kernel for A/B probes
+TWIST_BWD_V2 = _os.environ.get("PHYLO_TWIST_BWD_V2", "1") == "1"
 
 
 def _pair_loglik_bwd(res, g):

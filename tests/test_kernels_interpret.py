@@ -109,13 +109,17 @@ def test_kernel_gradients_flow_through_interpret(interpret_mode, rng):
         (8, 40, 7, 4),
     ],
 )
+@pytest.mark.parametrize("v2", [True, False])
 def test_pair_loglik_backward_kernels_match_jnp_vjp(interpret_mode, rng,
-                                                    K, S, A, M):
-    # The production twist op: XLA forward + Pallas backward
-    # (_kernel_ll_bwd_dm / _kernel_ll_bwd_dp).  Cotangents must equal
-    # the jnp VJP exactly (same f32/f64 arithmetic, single pass).
+                                                    K, S, A, M, v2,
+                                                    monkeypatch):
+    # The production twist op: XLA forward + Pallas backward.  Both the
+    # round-3 T-matrix kernel (_kernel_ll_bwd2, default) and the
+    # round-2 kernel (_kernel_ll_bwd) must match the jnp VJP exactly
+    # (same f32/f64 arithmetic, single pass).
     import jax.numpy as jnp
 
+    monkeypatch.setattr(kernels, "TWIST_BWD_V2", v2)
     args = tuple(jnp.asarray(a) for a in _inputs(rng, K, S, A, M=M))
     g = jnp.asarray(rng.normal(0, 1.0, (M, K)))
 
