@@ -49,3 +49,45 @@ def test_sharded_twist_matches_single_device():
     np.testing.assert_allclose(
         float(got.elbo), float(base.elbo), rtol=1e-10
     )
+
+
+@pytest.mark.parametrize("mesh_shape,axes", [
+    ((2, 4), ("k", "s")),
+    ((8,), ("s",)),
+])
+def test_sharded_twist_gradients_match_single_device(mesh_shape, axes):
+    """VNCSMC GRADIENTS on a k x s mesh vs single device (VERDICT r2
+    item 6: prior coverage was value-only on an (8,)-site mesh)."""
+    ds = simulate_dna(5, 40, seed=6)
+    N, K, M = ds.N, 4, 2
+    model = ReferenceQ(A=4)
+    params = {
+        "model": model.init_params(jnp.float64),
+        "branches": init_branch_params(N, dtype=jnp.float64),
+    }
+    rng = np.random.default_rng(1)
+    rates = np.exp(np.asarray(params["branches"]["log_rates_l"]))
+    dec = make_twist_decisions(rng, N, K, M, rates, rates)
+    config = SweepConfig(
+        K=K, twist=TwistConfig(M=M, pair_chunk=4), carried_weights=True
+    )
+    leaves = jnp.asarray(ds.genome)
+
+    def loss(params, leaves, sh):
+        return -sample_phylogenies(
+            jax.random.PRNGKey(0), leaves, model, params, config,
+            decisions=dec, shardings=sh,
+        ).elbo
+
+    g_base = jax.grad(loss)(params, leaves, None)
+    mesh = make_mesh(mesh_shape, axes)
+    sh = sweep_sharding(mesh)
+    leaves_sh = jax.device_put(leaves, sh.leaves)
+    g_sh = jax.jit(jax.grad(loss), static_argnums=(2,))(
+        params, leaves_sh, sh
+    )
+    for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
+    assert any(np.any(np.asarray(x) != 0.0)
+               for x in jax.tree.leaves(g_base))
