@@ -158,6 +158,19 @@ def measure_details():
     from phylo_tpu.utils.profiling import timed
 
     out = {}
+    anchors = {}
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            anchors = json.load(f)
+
+    def attach_baseline(label, anchor_key, field, tpu_seconds):
+        """vs_baseline from a tools/baseline_anchor.py cache entry (the
+        anchor measures the SAME quantity on the torch-f64 CPU
+        recursion; see BASELINE_MEASURED.json provenance fields)."""
+        if anchor_key in anchors:
+            base = anchors[anchor_key][field]
+            out[label]["cpu_baseline_seconds"] = base
+            out[label]["vs_baseline"] = round(base / tpu_seconds, 2)
 
     def fwd_time(ds_name, model_cls, K, sweep_kwargs=None, iters=10,
                  label=None):
@@ -186,6 +199,9 @@ def measure_details():
 
     # 1. JC69 CSMC, primates_small, K=128 (fixed params, fwd only)
     fwd_time("primate_data_wang", JC69, 128, label="jc69_csmc_small")
+    attach_baseline("jc69_csmc_small", "primates_small_jc69_K128_fwd_sweep",
+                    "sweep_seconds",
+                    out["jc69_csmc_small"]["fwd_sweep_ms"] / 1000)
     # 2. VCSMC primate (headline epoch measured by main())
     fwd_time("primate_data", ReferenceQ, 2048, label="vcsmc_primate")
     # 3a. the reference's learned-Q mode + batched expm on fish
@@ -194,6 +210,19 @@ def measure_details():
     #     BASELINE.json config #3 model family, trained end-to-end via
     #     `--model=gtr` (tests/test_train.py::test_train_gtr_model)
     fwd_time("fish_data", GTR, 2048, label="gtr_fish")
+    # 3c. fish learned-Q EPOCH at the headline protocol (K=2048,
+    #     batch 256) so config #3 carries a measured CPU speedup too
+    if "fish_K2048_B256" in anchors:
+        ds_f = load_dataset("fish_data")
+        per_epoch_f, _, elbo_f = measure_tpu(ds_f.genome, 2048, 256, 3)
+        out["fish_epoch"] = {
+            "config": "fish_data N=12 S=1047 K=2048 batch=256 "
+                      "learned-Q epoch",
+            "epoch_seconds": round(per_epoch_f, 4),
+            "elbo": elbo_f,
+        }
+        attach_baseline("fish_epoch", "fish_K2048_B256",
+                        "epoch_seconds", per_epoch_f)
     # 4. VNCSMC on betacoronavirus (coronavirus.p is not shipped in the
     #    reference repo), reference autorun scale K=32 M=10
     fwd_time(
@@ -226,11 +255,18 @@ def measure_details():
 
     step_time("betacorona1", 32, dict(twist=TwistConfig(M=10)), 3,
               "vncsmc_betacorona_step")
+    attach_baseline("vncsmc_betacorona_step",
+                    "betacorona_vncsmc_K32_M10_fullS_step",
+                    "step_seconds",
+                    out["vncsmc_betacorona_step"]["train_step_ms"] / 1000)
     # 5. Hohna DS1 at K=2048 (site sharding validated on the virtual
     #    mesh; single chip here); the full-S train step exercises the
     #    manual whole-sweep VJP (auto-enabled at this scale)
     fwd_time("hohna_data_1", ReferenceQ, 2048, iters=5, label="ds1_2048")
     step_time("hohna_data_1", 2048, None, 3, "ds1_2048_step")
+    attach_baseline("ds1_2048_step", "ds1_K2048_fullS_step",
+                    "step_seconds",
+                    out["ds1_2048_step"]["train_step_ms"] / 1000)
 
     # 6. VNCSMC epoch on primate at the reference's ACTIVE sweep config
     #    (autorun.sh:3-12: nested=true, K=32, M=10, batch 256), compared
