@@ -91,6 +91,10 @@ def parse_args(argv=None):
                    help="reproduce reference weight-recursion quirks")
     p.add_argument("--fixed_partition", type=_boolish, default=False,
                    help="reference-style fixed site partition per run")
+    p.add_argument("--log_params", type=_boolish, default=False,
+                   help="dump learned Q / stationary / branch rates on "
+                        "each logged epoch (reference vcsmc.py:565-575 "
+                        "console fidelity)")
     return p.parse_args(argv)
 
 
@@ -160,6 +164,7 @@ def main(argv=None):
         right_multiplier_bug=args.reference_compat,
         resample_branch_history=not args.reference_compat,
         fixed_partition=args.fixed_partition,
+        log_params=args.log_params,
         results_dir=args.results_dir,
         save_artifacts=not args.no_artifacts,
         checkpoint_every=args.checkpoint_every,

@@ -102,7 +102,20 @@ def detect_alphabet(strings):
     subset test would silently reclassify as protein.  Anything
     dominated by amino-acid-only letters (E, F, I, L, P, Q, ...) is
     protein; the encoder still raises loudly on characters the chosen
-    alphabet cannot represent."""
+    alphabet cannot represent.
+
+    Guard rails (ADVICE r2): every nucleotide letter is also a standard
+    amino acid, so a compositionally biased protein (rich in
+    A/G/S/T/R/K/V...) could sneak past a pure frequency test.  Two
+    checks close that hole: (a) a nucleotide-looking alignment that
+    still carries > 5% amino-acid-only letters (E/F/I/L/P/Q/J/Z --
+    leucine alone averages ~10% of real proteins) is treated as
+    ambiguous, and (b) the 0.8-0.9 nucleotide-fraction band is
+    ambiguous outright.  Ambiguous input raises with instructions to
+    pass an explicit ``alphabet=``; the decision and both fractions
+    are logged at INFO either way."""
+    import logging
+
     from phylo_tpu.dataio.alphabets import PROTEIN_ALPHABET
 
     import numpy as _np
@@ -117,12 +130,33 @@ def detect_alphabet(strings):
     # A/C/G/T/U/N plus the IUPAC ambiguity codes; amino-acid-only
     # letters (E, F, I, L, P, Q, ...) keep real proteins well under
     # the 90% threshold (~70% of a typical protein falls in this set)
-    nuc = _np.isin(
+    nuc_frac = _np.isin(
         residues, _np.frombuffer(b"ACGTUNRYSWKMBDHV", dtype=_np.uint8)
+    ).mean()
+    aa_only_frac = _np.isin(
+        residues, _np.frombuffer(b"EFILPQJZ", dtype=_np.uint8)
+    ).mean()
+    log = logging.getLogger("phylo_tpu.dataio")
+    if nuc_frac >= 0.9 and aa_only_frac <= 0.05:
+        choice = DNA_ALPHABET
+    elif nuc_frac < 0.8:
+        choice = PROTEIN_ALPHABET
+    else:
+        raise ValueError(
+            "detect_alphabet: ambiguous alignment (nucleotide-letter "
+            f"fraction {nuc_frac:.3f}, amino-acid-only fraction "
+            f"{aa_only_frac:.3f}) -- a compositionally biased protein "
+            "and a noisy DNA alignment are indistinguishable here; "
+            "pass alphabet=DNA_ALPHABET or alphabet=PROTEIN_ALPHABET "
+            "explicitly."
+        )
+    log.info(
+        "detect_alphabet: %s (nucleotide fraction %.3f, "
+        "amino-acid-only fraction %.3f)",
+        "DNA" if choice == DNA_ALPHABET else "protein",
+        nuc_frac, aa_only_frac,
     )
-    if nuc.mean() >= 0.9:
-        return DNA_ALPHABET
-    return PROTEIN_ALPHABET
+    return choice
 
 
 def _taxa_dict_dataset(name, raw, alphabet=None):

@@ -81,6 +81,12 @@ class TrainConfig:
     # sharding: name of a mesh axis layout, None = single device
     mesh_shape: Optional[tuple] = None
     log_every: int = 1
+    # also dump the learned Q matrix / stationary probs / branch-rate
+    # params on each logged epoch, like the reference's per-epoch
+    # parameter report (vcsmc.py:565-575).  Off by default: the fused-
+    # epoch scan gives one concise line per epoch; flip on for the
+    # reference's console fidelity.
+    log_params: bool = False
     # run all of an epoch's minibatch SGD steps as ONE jitted lax.scan
     # (single dispatch) instead of one jit call per step; per-step PRNG
     # keys and math are identical (fold_in(epoch_key, 1+i) either way)
@@ -385,6 +391,15 @@ def train(dataset, config: TrainConfig):
                 f"log_lik_R max {float(np.max(history['log_lik_R'][-1])):.3f}"
                 f"  {dt:.2f}s"
             )
+            if config.log_params:
+                # the reference dumps the learned substitution model +
+                # branch-rate params every epoch (vcsmc.py:565-575)
+                with np.printoptions(precision=4, suppress=True):
+                    print("Q matrix:\n"
+                          f"{history['Qmatrices'][-1]}")
+                    print(f"stationary: {history['stationary'][-1]}")
+                    print(f"branch rates L: {np.asarray(rl)}")
+                    print(f"branch rates R: {np.asarray(rr)}")
 
         ckpt_dir = config.checkpoint_dir or (
             os.path.join(save_dir, "ckpt") if save_dir else None

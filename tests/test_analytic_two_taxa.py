@@ -25,7 +25,7 @@ def test_two_taxon_likelihood_by_hand():
     dec = dict(
         ancestors=jnp.zeros((1, K), jnp.int32),
         pairs=jnp.zeros((1, K, 2), jnp.int32).at[0, 0].set(
-            jnp.asarray([0, 1])
+            jnp.asarray([0, 1], jnp.int32)
         ),
         branches_l=jnp.full((1, K), b_l),
         branches_r=jnp.full((1, K), b_r),

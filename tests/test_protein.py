@@ -101,6 +101,19 @@ def test_detect_alphabet_tolerates_stray_unknown_bases():
     assert detect_alphabet(["MKLVEFPQW", "MKLIEFPQW"]) == PROTEIN_ALPHABET
 
 
+def test_detect_alphabet_ambiguous_band_raises():
+    import pytest
+
+    # 0.8 nucleotide-letter fraction: could be noisy DNA or a biased
+    # protein -- must demand an explicit alphabet (ADVICE r2)
+    with pytest.raises(ValueError, match="ambiguous"):
+        detect_alphabet(["ACGTACGTEE"])
+    # compositionally biased protein: >= 0.9 of its letters are also
+    # nucleotide codes, but the 10% leucine betrays it
+    with pytest.raises(ValueError, match="ambiguous"):
+        detect_alphabet(["AAGGSSTTRRKKVVAAGGLL"])
+
+
 def test_gap_chars_colliding_with_alphabet_raise():
     import pytest
 
