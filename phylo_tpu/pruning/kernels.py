@@ -504,6 +504,99 @@ def fused_pair_loglik(m1, m2, P_l, P_r, pi, weights):
     return _pair_ll(m1, m2, P_l, P_r, pi, weights)
 
 
+def _kernel_ll_fwd2(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
+                    out_ref, *, A, M):
+    """Forward pair-loglik with the M subsamples unrolled INSIDE the
+    program (fori_loop) instead of riding the grid: each message block
+    is fetched once and reused for all M subsamples -- the re-fetch per
+    (pair, m) program is why the round-2 forward kernel (_kernel_ll)
+    lost to the XLA fusion (fused_pair_loglik STATUS)."""
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    js = pl.program_id(1)
+    w = w_ref[:]                                        # (1, TS)
+
+    @pl.when(js == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(m, _):
+        P_row_l = pl_ref[m]                             # (tk, A*A)
+        P_row_r = pr_ref[m]
+        pl_c = [P_row_l[:, c][:, None] for c in range(A * A)]
+        pr_c = [P_row_r[:, c][:, None] for c in range(A * A)]
+        site_lik = None
+        for b in range(A):
+            u_b = None
+            v_b = None
+            for a in range(A):
+                tu = m1_ref[:, a, :] * pl_c[a * A + b]
+                tv = m2_ref[:, a, :] * pr_c[a * A + b]
+                u_b = tu if u_b is None else u_b + tu
+                v_b = tv if v_b is None else v_b + tv
+            term = (u_b * v_b) * pi_ref[0, b]
+            site_lik = term if site_lik is None else site_lik + term
+        out_ref[m, :] += jnp.sum(jnp.log(site_lik) * w, axis=-1)
+        return 0
+
+    lax.fori_loop(0, M, body, 0)
+
+
+def _pair_ll_forward2(m1, m2, P_l, P_r, pi, weights):
+    """M-in-program forward kernel launcher (same padding contract as
+    _pair_ll_bwd_pallas)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K, A, _ = P_l.shape
+    S = m1.shape[-1]
+    dtype = m1.dtype
+    if K >= 128:
+        tk = 128
+        Kp = _round_up(K, tk)
+    else:
+        tk = Kp = _round_up(K, 8)
+    Sp = _round_up(S, TS)
+    ts = _site_tile(Sp)
+    n_ik = Kp // tk
+    n_js = Sp // ts
+
+    pad_msg = ((0, Kp - K), (0, 0), (0, Sp - S))
+    m1k = jnp.pad(m1, pad_msg, constant_values=1.0)
+    m2k = jnp.pad(m2, pad_msg, constant_values=1.0)
+    pk_l = jnp.pad(P_l.reshape(M, K, A * A),
+                   ((0, 0), (0, Kp - K), (0, 0)), constant_values=1.0)
+    pk_r = jnp.pad(P_r.reshape(M, K, A * A),
+                   ((0, 0), (0, Kp - K), (0, 0)), constant_values=1.0)
+    wk = jnp.pad(weights[None], ((0, 0), (0, Sp - S)))
+
+    msg_spec = pl.BlockSpec((tk, A, ts), lambda ik, js: (ik, 0, js),
+                            memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((M, tk, A * A), lambda ik, js: (0, ik, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel_ll_fwd2, A=A, M=M),
+        grid=(n_ik, n_js),
+        interpret=INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        in_specs=[
+            msg_spec, msg_spec, p_spec, p_spec,
+            pl.BlockSpec((1, A), lambda ik, js: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), lambda ik, js: (0, js),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, tk), lambda ik, js: (0, ik),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, Kp), dtype),
+    )(m1k, m2k, pk_l, pk_r, pi[None], wk)
+    return out[:, :K]
+
+
 def _pair_ll_ref(m1, m2, P_l, P_r, pi, weights):
     M, K, A, _ = P_l.shape
     site_lik = None
@@ -528,6 +621,8 @@ def _pair_ll(m1, m2, P_l, P_r, pi, weights):
 def _pair_ll_forward(m1, m2, P_l, P_r, pi, weights):
     if jax.default_backend() != "tpu" and not INTERPRET:
         return _pair_ll_ref(m1, m2, P_l, P_r, pi, weights)
+    if TWIST_FWD_V2:
+        return _pair_ll_forward2(m1, m2, P_l, P_r, pi, weights)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -974,6 +1069,9 @@ TWIST_BWD_KERNEL = _os.environ.get("PHYLO_TWIST_BWD_KERNEL", "1") == "1"
 # v2 T-matrix backward kernel (_kernel_ll_bwd2, half the cross-lane
 # reduces); 0 falls back to the round-2 kernel for A/B probes
 TWIST_BWD_V2 = _os.environ.get("PHYLO_TWIST_BWD_V2", "1") == "1"
+# M-in-program forward kernel (_kernel_ll_fwd2) for the opt-in
+# use_pallas_ll path; 0 keeps the round-2 (ik, js, M)-grid kernel
+TWIST_FWD_V2 = _os.environ.get("PHYLO_TWIST_FWD_V2", "1") == "1"
 
 
 def _pair_loglik_bwd(res, g):

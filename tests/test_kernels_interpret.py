@@ -68,8 +68,10 @@ def test_fused_merge_kernel_body_matches_ref(interpret_mode, rng, K, S, A,
         (8, 40, 7, 4),     # A=7
     ],
 )
+@pytest.mark.parametrize("fwd_v2", [True, False])
 def test_pair_loglik_kernel_body_matches_ref(interpret_mode, rng, K, S, A,
-                                             M):
+                                             M, fwd_v2, monkeypatch):
+    monkeypatch.setattr(kernels, "TWIST_FWD_V2", fwd_v2)
     args = _inputs(rng, K, S, A, M=M)
     out = kernels.fused_pair_loglik(*args)
     ref = kernels._pair_ll_ref(*args)
