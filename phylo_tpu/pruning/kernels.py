@@ -498,8 +498,16 @@ def fused_pair_loglik(m1, m2, P_l, P_r, pi, weights):
     probed scale (betacorona K=32 M=10 fwd 316 vs 94 ms; primate K=32
     31 vs 21 ms; primate K=256 185 vs 129 ms): the (K-tile, site-tile,
     M) program grid re-fetches message tiles per program while XLA keeps
-    them pipelined inside a single fusion.  use_pallas_ll therefore
-    defaults to False.
+    them pipelined inside a single fusion.  Round 3 retried with the
+    M-in-program layout that made the BACKWARD kernel win
+    (_kernel_ll_fwd2, PHYLO_TWIST_FWD_V2): each message block is now
+    fetched once and reused across all M subsamples -- still loses
+    (betacorona K=32 M=10 fwd 123.6 vs 44.5 ms with prefix-skip
+    chunking; primate K=32 25.5 vs 21.7).  The forward is a single
+    multiply-add chain with NO tensor re-reads for XLA to botch, so the
+    fusion is already near streaming-optimal; use_pallas_ll stays
+    False (and note its custom VJP takes the jnp-reference backward,
+    not the streaming Pallas backward -- fwd+bwd 1704 vs 552 ms).
     """
     return _pair_ll(m1, m2, P_l, P_r, pi, weights)
 
@@ -1067,8 +1075,12 @@ import os as _os
 
 TWIST_BWD_KERNEL = _os.environ.get("PHYLO_TWIST_BWD_KERNEL", "1") == "1"
 # v2 T-matrix backward kernel (_kernel_ll_bwd2, half the cross-lane
-# reduces); 0 falls back to the round-2 kernel for A/B probes
-TWIST_BWD_V2 = _os.environ.get("PHYLO_TWIST_BWD_V2", "1") == "1"
+# reduces).  Measured SLOWER than the round-2 kernel despite the
+# fewer reduces (betacorona K=32 M=10 step 552 vs 513 ms,
+# tools/twist_probe3.py round 3 -- the ubar/vbar dm reorganization
+# adds more VPU work than the saved reductions), so default OFF;
+# 1 re-enables it for A/B probes.
+TWIST_BWD_V2 = _os.environ.get("PHYLO_TWIST_BWD_V2", "0") == "1"
 # M-in-program forward kernel (_kernel_ll_fwd2) for the opt-in
 # use_pallas_ll path; 0 keeps the round-2 (ik, js, M)-grid kernel
 TWIST_FWD_V2 = _os.environ.get("PHYLO_TWIST_FWD_V2", "1") == "1"

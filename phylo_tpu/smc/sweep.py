@@ -397,10 +397,21 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     O(K N A S) message-buffer cotangent with a compact hand-written
     reverse pass (ROADMAP item 1)."""
     manual = config.manual_vjp
+    N, S = leaves.shape[0], leaves.shape[1]
     if manual == "auto":
-        N, S = leaves.shape[0], leaves.shape[1]
         manual = N * S >= 16384 and N <= 64
-    if (manual and config.twist is None and decisions is None
+        if config.twist is not None:
+            # the twist path's AD bookkeeping (per-rank buffer
+            # residuals + dense chunk-cotangent accumulation) is what
+            # the manual pass eliminates -- engage whenever the
+            # (R, P, M, K) ll residual stays modest
+            R, P = N - 1, (N * (N - 1)) // 2
+            llm_bytes = R * P * config.twist.M * config.K * 4
+            manual = N <= 64 and llm_bytes <= 256 * 2**20
+    # the manual twist reverse pass re-gathers candidate children from
+    # the unified buffer, so it needs the replicated-leaf layout
+    twist_ok = config.twist is None or config.replicate_leaves
+    if (manual and decisions is None and twist_ok
             and config.rescale and not config.remat
             and not config.blocked_merge):
         from phylo_tpu.smc.sweep_vjp import sweep_manual_vjp
@@ -619,14 +630,21 @@ def _sample_body(key, leaves, model, params, config, *,
 
         # ---- 2. Extend partial state: pair + branch proposal ----------
         if config.twist is not None:
-            p1, p2, b_l, b_r, P_l, P_r, q_pen = twisted_extend(
+            # record the post-resample lookup tables BEFORE this rank's
+            # updates: the manual twist reverse pass re-resolves every
+            # candidate pair's children against the final buffer with
+            # exactly these tables
+            slot_pre, rows_pre = slot, row_of_node
+            (p1, p2, b_l, b_r, P_l, P_r, q_pen, twist_llm,
+             twist_idx) = twisted_extend(
                 k_tw, config, model, params, stationary, leaves,
                 slot, leaf_counts, row_of_node,
-                state["internal_msgs"], state["internal_logscale"],
+                state["internal_msgs"] if injected is None else None,
+                state["internal_logscale"],
                 r, n_active, rate_l, rate_r, dec,
                 site_weights=site_weights, root_ll=root_ll,
             )
-            if P_l is None:
+            if P_l is None and injected is None:
                 # pool expm was not presampled (over budget): compute
                 # the chosen branches' transitions in-loop
                 P_lr = model.transition(
@@ -799,6 +817,19 @@ def _sample_body(key, leaves, model, params, config, *,
                 rows=rows_n, pairs=pair_pos, rootll_raw=rootll_raw,
                 d_lsc=d_lsc, do_resample=do_resample,
             )
+            if config.twist is not None:
+                # twist residuals: the (P, M, K) merge log-likelihoods
+                # at the cut, the flat choice, the post-resample lookup
+                # tables, and the chosen unit-rate draws (b * rate --
+                # rate-independent, so the backward can re-express
+                # b = eps / rate differentiably)
+                out.update(
+                    twist_llm=twist_llm,
+                    twist_choice=twist_idx.astype(jnp.int32),
+                    slot_t=slot_pre, rows_t=rows_pre,
+                    twist_eps_l=b_l * rate_l,
+                    twist_eps_r=b_r * rate_r,
+                )
         return new_state, out
 
     ranks = jnp.arange(n_ranks, dtype=jnp.int32)
@@ -860,9 +891,20 @@ def _sample_body(key, leaves, model, params, config, *,
         xs_dec.update(
             precompute_twist_xs(
                 key, config, model, params, rates_l, rates_r, N, dtype,
-                decisions,
+                decisions, skip_expm=injected is not None,
             )
         )
+        if injected is not None:
+            # scalar replay of the manual whole-sweep VJP: resampling /
+            # merge decisions plus the per-rank twist cut quantities
+            xs_dec.update(
+                inj_ancestors=injected["ancestors"],
+                inj_do_resample=injected["do_resample"],
+                inj_rootll=injected["rootll_raw"],
+                inj_dlsc=injected["d_lsc"],
+                inj_twist_llm=injected["twist_llm"],
+                inj_twist_choice=injected["twist_choice"],
+            )
     xs = (ranks, xs_dec)
     step_fn = jax.checkpoint(step) if config.remat else step
     unroll = config.unroll if config.unroll > 0 else n_ranks
@@ -896,9 +938,10 @@ def _sample_body(key, leaves, model, params, config, *,
         q_proposal=outs["q_pen"],
     )
     if injected is not None:
-        # scalar replay: expose the tensors whose cotangents arrive via
-        # the manual message reverse pass (sweep_vjp)
-        return result, dict(P_all=P_all, pi=stationary)
+        # scalar replay of the manual whole-sweep VJP; the caller
+        # (sweep_vjp) differentiates this result only -- the message
+        # cotangents arrive via the manual reverse passes
+        return result, None
     if want_aux:
         aux = dict(
             buf=final["internal_msgs"],
@@ -914,6 +957,14 @@ def _sample_body(key, leaves, model, params, config, *,
             rootll_raw=outs["rootll_raw"],
             d_lsc=outs["d_lsc"],
         )
+        if config.twist is not None:
+            aux.update(
+                twist_llm=outs["twist_llm"],
+                twist_choice=outs["twist_choice"],
+                slot_t=outs["slot_t"], rows_t=outs["rows_t"],
+                twist_eps_l=outs["twist_eps_l"],
+                twist_eps_r=outs["twist_eps_r"],
+            )
         return result, aux
     if want_buffer:
         return result, final["internal_msgs"]

@@ -76,22 +76,33 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
 
     def f_bwd(saved, ct):
         params, key, leaves, site_weights, aux = saved
+        tw = config.twist is not None
 
         injected = dict(
-            eps_l=aux["eps_l"], eps_r=aux["eps_r"],
-            ancestors=aux["ancestors"], pairs=aux["pairs"],
+            ancestors=aux["ancestors"],
             do_resample=aux["do_resample"],
         )
+        if tw:
+            injected.update(twist_choice=aux["twist_choice"])
+        else:
+            injected.update(eps_l=aux["eps_l"], eps_r=aux["eps_r"],
+                            pairs=aux["pairs"])
 
-        def replay(params, leaves, site_weights, rootll_raw, d_lsc):
+        def replay(params, leaves, site_weights, rootll_raw, d_lsc,
+                   twist_llm):
             # leaves/site_weights are diff args: on the injected path
             # they reach the result only through the leaf root
-            # log-likelihoods (messages are injected scalars)
-            res2, _cut = _sample_body(
+            # log-likelihoods (messages are injected scalars).  For
+            # twist configs the per-rank pair log-likelihoods are a
+            # third injected cut -- their cotangents g_llm drive the
+            # manual twist reverse pass.
+            inj = dict(injected, rootll_raw=rootll_raw, d_lsc=d_lsc)
+            if tw:
+                inj["twist_llm"] = twist_llm
+            res2, _ = _sample_body(
                 key, leaves, model, params, config,
                 shardings=shardings, site_weights=site_weights,
-                injected=dict(injected, rootll_raw=rootll_raw,
-                              d_lsc=d_lsc),
+                injected=inj,
             )
             return (
                 res2.elbo, res2.log_weights, res2.log_likelihood,
@@ -104,16 +115,21 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
             # the forward prologue uses (_presample_transitions), split
             # out so the scalar replay is differentiated ONCE and the
             # dP_all/dpi cotangents pull back through a graph of just
-            # rates -> branches -> expm
+            # rates -> branches -> expm.  For twist configs the merged
+            # pairs' transitions are reconstructed from the saved
+            # chosen draws (eps = b * rate is rate-independent).
             from phylo_tpu.models.branches import branch_rates
             from phylo_tpu.smc.sweep import _presample_transitions
 
-            dtype = aux["eps_l"].dtype
+            if tw:
+                eps_l, eps_r = aux["twist_eps_l"], aux["twist_eps_r"]
+            else:
+                eps_l, eps_r = aux["eps_l"], aux["eps_r"]
+            dtype = eps_l.dtype
             rates_l, rates_r = branch_rates(params["branches"])
             _, _, P_all = _presample_transitions(
                 model, params["model"], rates_l.astype(dtype),
-                rates_r.astype(dtype), aux["eps_l"], aux["eps_r"],
-                dtype,
+                rates_r.astype(dtype), eps_l, eps_r, dtype,
             )
             pi = model.stationary(params["model"]).astype(dtype)
             return P_all, pi
@@ -123,18 +139,34 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
             ct.log_likelihood_R, ct.left_branches, ct.right_branches,
             ct.q_proposal,
         )
+        twist_llm = aux["twist_llm"] if tw else None
         _, vjp_replay = jax.vjp(
             replay, params, leaves, site_weights,
-            aux["rootll_raw"], aux["d_lsc"],
+            aux["rootll_raw"], aux["d_lsc"], twist_llm,
         )
-        dparams_a, dleaves_a, dsw_a, g_rootll, g_dlsc = vjp_replay(ct_f)
+        (dparams_a, dleaves_a, dsw_a, g_rootll, g_dlsc,
+         g_llm) = vjp_replay(ct_f)
 
         (P_all, pi), vjp_prologue = jax.vjp(prologue, params)
+        pending0 = None
+        if tw:
+            (pending0, dleaves_tw, dw_tw, dpi_tw,
+             dparams_tw) = _twist_messages_bwd(
+                key, aux, model, params, config, pi, g_llm, N,
+                shardings,
+            )
         dP_all, dpi, dleaves_sm, dw_sm = _messages_bwd(
-            aux, P_all, pi, g_rootll, g_dlsc, N, config, shardings
+            aux, P_all, pi, g_rootll, g_dlsc, N, config, shardings,
+            pending=pending0,
         )
+        if tw:
+            dpi = dpi + dpi_tw
+            dleaves_sm = dleaves_sm + dleaves_tw
+            dw_sm = dw_sm + dw_tw
         (dparams_b,) = vjp_prologue((dP_all, dpi))
         dparams = jax.tree.map(jnp.add, dparams_a, dparams_b)
+        if tw:
+            dparams = jax.tree.map(jnp.add, dparams, dparams_tw)
 
         # message-DAG contributions back to caller layout: leaves_sm is
         # states-major (N, A, Sp) with the site axis padded to the
@@ -181,8 +213,178 @@ def _merge_bwd(residuals, cotangents):
     return vjp(cotangents)
 
 
+def _twist_messages_bwd(key, aux, model, params, config, pi, g_llm, N,
+                        shardings):
+    """Reverse pass over the TWIST potential DAG (VNCSMC manual VJP).
+
+    The scalar replay injects each rank's (P, M, K) pair-merge data
+    log-likelihoods `ll_m` and returns their cotangents `g_llm`
+    (R, P, M, K).  This pass pulls those back onto the message buffer,
+    the model parameters (through the candidate transition matrices),
+    the branch rates (through the pool b = eps / rate), pi and the
+    site weights -- by re-running the forward's chunked pair
+    enumeration against the FINAL write-once buffer (the lookup tables
+    the forward used at each rank are saved in aux: slot_t / rows_t)
+    and calling the streaming pair-loglik backward kernel per chunk.
+
+    One lax.scan over the flattened (rank x chunk) grid, with the same
+    prefix-order whole-chunk skipping as the forward (g_llm for
+    invalid pairs is identically zero, so granularity mismatches are
+    impossible).  Compared to XLA AD over the forward this eliminates
+    the per-rank buffer residual stacking and the dense per-chunk
+    buffer-cotangent accumulation (xprof round 3: ~45% of the
+    betacorona step).
+
+    Returns (pending (K, R, A, Sp), dleaves_sm (N, A, Sp), dw (Sp,),
+    dpi (A,), dparams_tw pytree like params).
+    """
+    from phylo_tpu.models.branches import branch_rates
+    from phylo_tpu.pruning.kernels import pair_loglik
+    from phylo_tpu.smc.sweep import _take_positions
+    from phylo_tpu.smc.twist import (
+        _pool_draws, _prefix_order, upper_tri_pairs,
+    )
+
+    twist = config.twist
+    buf = aux["buf"]                          # (K, N+R, A, Sp) unified
+    leaves_sm = aux["leaves_sm"]
+    w_vec = aux["site_weights"]               # (Sp,)
+    slot_t = aux["slot_t"]                    # (R, K, N)
+    rows_t = aux["rows_t"]                    # (R, K, R)
+    K = buf.shape[0]
+    A, Sp = leaves_sm.shape[1], leaves_sm.shape[2]
+    R = N - 1
+    M = twist.M
+    dtype = buf.dtype
+
+    pairs_np = upper_tri_pairs(N)
+    P = len(pairs_np)
+    order_np, _ = _prefix_order(N)
+
+    # the forward's exact unit-rate pool draws, regenerated
+    draws_l, draws_r = _pool_draws(key, R, P, M, K, dtype)
+
+    C = twist.resolve_chunk(P, M, K, Sp, jnp.dtype(dtype).itemsize)
+    P_pad = -(-P // C) * C
+    pad_p = P_pad - P
+    n_chunks = P_pad // C
+
+    def prefix_chunks(x, fill):
+        pad = jnp.full((x.shape[0], pad_p) + x.shape[2:], fill, x.dtype)
+        xp = jnp.concatenate([x[:, order_np], pad], axis=1)
+        return xp.reshape((x.shape[0], n_chunks, C) + x.shape[2:])
+
+    dl_pc = prefix_chunks(draws_l, 1.0)       # (R, nc, C, M, K)
+    dr_pc = prefix_chunks(draws_r, 1.0)
+    g_pc = prefix_chunks(g_llm.astype(dtype), 0.0)
+    pairs_pc = jnp.asarray(np.concatenate(
+        [pairs_np[order_np], np.zeros((pad_p, 2), np.int32)]
+    ).reshape(n_chunks, C, 2))
+
+    rates_fn = lambda pb: jax.tree.map(           # noqa: E731
+        lambda x: x.astype(dtype), branch_rates(pb)
+    )
+    (rates_l, rates_r), vjp_rates = jax.vjp(rates_fn, params["branches"])
+
+    own = jnp.arange(K, dtype=jnp.int32)[:, None]
+    pending = jnp.zeros((K, R, A, Sp), dtype)
+    if shardings is not None:
+        pending = lax.with_sharding_constraint(pending, shardings.core)
+    carry0 = dict(
+        pending=pending,
+        dleaves=jnp.zeros_like(leaves_sm),
+        dw=jnp.zeros((Sp,), dtype),
+        dpi=jnp.zeros_like(pi),
+        dmodel=jax.tree.map(jnp.zeros_like, params["model"]),
+        drl=jnp.zeros_like(rates_l),
+        drr=jnp.zeros_like(rates_r),
+    )
+
+    t_r = jnp.repeat(jnp.arange(R, dtype=jnp.int32), n_chunks)
+    t_c = jnp.tile(jnp.arange(n_chunks, dtype=jnp.int32), R)
+
+    def body(carry, t):
+        r, c = t
+        n_active = N - r
+        n_valid = (n_active * (n_active - 1)) // 2
+
+        def do(carry):
+            pc = pairs_pc[c]                          # (C, 2)
+            pos = jnp.broadcast_to(
+                pc.T.reshape(-1)[None], (K, 2 * C)
+            )                                          # [i..., j...]
+            slot_r = slot_t[r]
+            nodes = _take_positions(slot_r, pos)       # (K, 2C)
+            is_leaf = nodes < N
+            q = jnp.clip(nodes - N, 0, R - 1)
+            rows = _take_positions(rows_t[r], q)
+            brow = jnp.where(is_leaf, own, rows)
+            msgs = buf[brow, nodes]                    # (K, 2C, A, Sp)
+            m_l = msgs[:, :C].reshape(K * C, A, Sp)
+            m_r = msgs[:, C:].reshape(K * C, A, Sp)
+
+            dl = dl_pc[r, c]                           # (C, M, K)
+            dr = dr_pc[r, c]
+            g_flat = jnp.transpose(
+                g_pc[r, c], (1, 2, 0)
+            ).reshape(M, K * C)
+
+            def f(pm, rl, rr, ml, mr, pi_, w_):
+                bl = dl / rl
+                br = dr / rr
+                P_lr = model.transition(
+                    pm, jnp.concatenate([bl, br])
+                ).astype(dtype)                        # (2C, M, K, A, A)
+                P_l = jnp.transpose(
+                    P_lr[:C], (1, 2, 0, 3, 4)
+                ).reshape(M, K * C, A, A)
+                P_r = jnp.transpose(
+                    P_lr[C:], (1, 2, 0, 3, 4)
+                ).reshape(M, K * C, A, A)
+                return pair_loglik(ml, mr, P_l, P_r, pi_, w_)
+
+            _, vjp = jax.vjp(
+                f, params["model"], rates_l[r], rates_r[r],
+                m_l, m_r, pi, w_vec,
+            )
+            dpm, drl_c, drr_c, dml, dmr, dpi_c, dw_c = vjp(g_flat)
+
+            out = dict(carry)
+            out["dmodel"] = jax.tree.map(jnp.add, carry["dmodel"], dpm)
+            out["drl"] = carry["drl"].at[r].add(drl_c)
+            out["drr"] = carry["drr"].at[r].add(drr_c)
+            out["dpi"] = carry["dpi"] + dpi_c
+            out["dw"] = carry["dw"] + dw_c
+            # scatter the message cotangents: internal children into
+            # the pending buffer, leaf children into dleaves (same
+            # high-OOB drop sentinels as _messages_bwd)
+            pending, dleaves = carry["pending"], carry["dleaves"]
+            for dm, sl in ((dml, slice(None, C)), (dmr, slice(C, None))):
+                dm = dm.reshape(K, C, A, Sp)
+                nd = nodes[:, sl]
+                lf = is_leaf[:, sl]
+                idl = jnp.where(lf, nd, N)
+                dleaves = dleaves.at[idl].add(dm, mode="drop")
+                qd = jnp.where(lf, R, nd - N)
+                pending = pending.at[rows[:, sl], qd].add(
+                    dm, mode="drop"
+                )
+            out["pending"] = pending
+            out["dleaves"] = dleaves
+            return out
+
+        carry = lax.cond(c * C < n_valid, do, lambda x: x, carry)
+        return carry, None
+
+    carry, _ = lax.scan(body, carry0, (t_r, t_c))
+    (dbranches,) = vjp_rates((carry["drl"], carry["drr"]))
+    dparams_tw = dict(model=carry["dmodel"], branches=dbranches)
+    return (carry["pending"], carry["dleaves"], carry["dw"],
+            carry["dpi"], dparams_tw)
+
+
 def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
-                  shardings):
+                  shardings, pending=None):
     """Reverse pass over the message DAG, fully unrolled over ranks.
 
     Maintains `pending` (K, R, A, S): the accumulated cotangents of
@@ -222,9 +424,12 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
     R, A, Sp = rows_all.shape[0], leaves_sm.shape[1], leaves_sm.shape[2]
     P_l_all, P_r_all = P_all[:, :K], P_all[:, K:]
 
-    pending = jnp.zeros((K, R, A, Sp), buf.dtype)
-    if shardings is not None:
-        pending = lax.with_sharding_constraint(pending, shardings.core)
+    if pending is None:
+        pending = jnp.zeros((K, R, A, Sp), buf.dtype)
+        if shardings is not None:
+            pending = lax.with_sharding_constraint(
+                pending, shardings.core
+            )
     own = jnp.arange(K, dtype=rows_all.dtype)[:, None]
 
     dPl_out = [None] * R

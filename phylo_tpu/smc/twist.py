@@ -147,8 +147,20 @@ def _prefix_order(N):
     return order, inverse
 
 
+def _pool_draws(key, R, P, M, K, dtype):
+    """Unit-rate exponential pool draws, (R, P, M, K) x2 -- split out of
+    `precompute_twist_xs` so the manual whole-sweep VJP (sweep_vjp) can
+    regenerate the forward's exact draws in its backward pass instead
+    of checkpointing them."""
+    kl, kr = jax.random.split(jax.random.fold_in(key, 0x7717))
+    return (
+        jax.random.exponential(kl, (R, P, M, K), dtype=dtype),
+        jax.random.exponential(kr, (R, P, M, K), dtype=dtype),
+    )
+
+
 def precompute_twist_xs(key, config, model, params, rates_l, rates_r,
-                        N, dtype, decisions=None):
+                        N, dtype, decisions=None, skip_expm=False):
     """Pre-scan twist randomness + transitions, as lax.scan xs arrays
     (leading axis = rank).
 
@@ -169,24 +181,54 @@ def precompute_twist_xs(key, config, model, params, rates_l, rates_r,
         pool_l = decisions["twist_pool_l"].astype(dtype)   # (R, P, M, K)
         pool_r = decisions["twist_pool_r"].astype(dtype)
     else:
-        kl, kr = jax.random.split(jax.random.fold_in(key, 0x7717))
-        pool_l = (
-            jax.random.exponential(kl, (R, P, M, K), dtype=dtype)
-            / rates_l[:, None, None, None].astype(dtype)
-        )
-        pool_r = (
-            jax.random.exponential(kr, (R, P, M, K), dtype=dtype)
-            / rates_r[:, None, None, None].astype(dtype)
-        )
+        draws_l, draws_r = _pool_draws(key, R, P, M, K, dtype)
+        pool_l = draws_l / rates_l[:, None, None, None].astype(dtype)
+        pool_r = draws_r / rates_r[:, None, None, None].astype(dtype)
     out = dict(twist_pool_l=pool_l, twist_pool_r=pool_r)
     A = model.A
     size = 2 * R * P * M * K * A * A * jnp.dtype(dtype).itemsize
-    if twist.presample_expm and size <= twist.presample_budget_mb * 2**20:
+    if (twist.presample_expm and not skip_expm
+            and size <= twist.presample_budget_mb * 2**20):
         P_all = model.transition(
             params["model"], jnp.stack([pool_l, pool_r])
         ).astype(dtype)                        # (2, R, P, M, K, A, A)
         out.update(twist_P_l=P_all[0], twist_P_r=P_all[1])
     return out
+
+
+def _pot_terms(pairs, slot, leaf_counts, row_of_node, internal_logscale,
+               root_ll, N, dtype):
+    """Non-message potential terms for ALL pairs, (K, P):
+
+        -ll(left) - ll(right) + [prior(merged) - prior(l) - prior(r)]
+
+    where ll(pos) = root_ll(pos) - node_logscale(pos) is the scaled-
+    message child posterior read straight off the carried per-root
+    tables (the reference recomputes both on tiled M*K batches,
+    vncsmc.py:363-365).  Pure table lookups -- shared by the normal
+    forward and the scalar-replay (injected) mode of the manual VJP.
+    """
+    from phylo_tpu.smc.sweep import _take_positions
+
+    P = pairs.shape[0]
+    R = row_of_node.shape[1]
+    pos_flat = jnp.broadcast_to(
+        pairs.T.reshape(-1)[None], (slot.shape[0], 2 * P)
+    )                                                    # (K, 2P): [i..., j...]
+    nodes = _take_positions(slot, pos_flat)              # (K, 2P)
+    is_leaf = nodes < N
+    q = jnp.clip(nodes - N, 0, R - 1)
+    rows = _take_positions(row_of_node, q)
+    lsc = jnp.where(is_leaf, 0.0, internal_logscale[rows, q])
+    rll = _take_positions(root_ll, pos_flat) - lsc       # (K, 2P)
+    cts = _take_positions(leaf_counts, pos_flat)
+    c1, c2 = cts[:, :P], cts[:, P:]
+    d_prior = (
+        topology_log_prior(c1 + c2)
+        - topology_log_prior(c1)
+        - topology_log_prior(c2)
+    ).astype(dtype)                                      # (K, P)
+    return d_prior - rll[:, :P] - rll[:, P:]
 
 
 def twisted_extend(key, config, model, params, stationary, leaves,
@@ -195,19 +237,21 @@ def twisted_extend(key, config, model, params, stationary, leaves,
                    site_weights=None, root_ll=None):
     """Twisted proposal for one rank.
 
-    Returns (p1, p2, b_l, b_r, P_l, P_r, q_pen): the chosen pair
-    positions, branch lengths, their transition matrices (None when the
-    pool expm was not presampled -- the sweep then computes them), and
-    the log proposal probability of the chosen (pair, subsample) under
-    the normalized potentials (subtracted from the log weight,
-    vncsmc.py:489-491).
+    Returns (p1, p2, b_l, b_r, P_l, P_r, q_pen, ll_lex, idx): the
+    chosen pair positions, branch lengths, their transition matrices
+    (None when the pool expm was not presampled -- the sweep then
+    computes them), the log proposal probability of the chosen
+    (pair, subsample) under the normalized potentials (subtracted from
+    the log weight, vncsmc.py:489-491), plus the raw (P, M, K) merge
+    log-likelihoods and the flat choice index (residuals for the
+    manual whole-sweep VJP).
 
     dec carries this rank's slice of the precomputed xs
     (precompute_twist_xs): twist_pool_l/r (P, M, K) always, and
-    twist_P_l/r (P, M, K, A, A) when presampled.
+    twist_P_l/r (P, M, K, A, A) when presampled.  With
+    "inj_twist_llm"/"inj_twist_choice" present (scalar replay of the
+    manual VJP) all message work is bypassed.
     """
-    from phylo_tpu.smc.sweep import _node_lookup
-
     twist = config.twist
     M = twist.M
     N, A, S = leaves.shape    # sweep-internal states-major layout
@@ -221,6 +265,77 @@ def twisted_extend(key, config, model, params, stationary, leaves,
     pool_l = dec["twist_pool_l"].astype(dtype)         # (P, M, K)
     pool_r = dec["twist_pool_r"].astype(dtype)
     have_P = "twist_P_l" in dec
+
+    if dec and "inj_twist_llm" in dec:
+        # scalar replay (manual whole-sweep VJP, sweep_vjp): the
+        # pair-merge data log-likelihoods are injected verbatim from
+        # the forward run -- no message work at all here; their
+        # cotangents are produced by the hand-written twist reverse
+        # pass (sweep_vjp._twist_messages_bwd).  The non-message
+        # potential terms below are recomputed from the replay-carried
+        # tables, keeping rll/prior gradient flow in the replay.
+        ll_lex = dec["inj_twist_llm"].astype(dtype)
+        pool_P_l = pool_P_r = None
+        have_P = False
+    else:
+        ll_lex, pool_P_l, pool_P_r = _twist_ll_lex(
+            config, model, params, stationary, leaves, slot,
+            row_of_node, internal_msgs, internal_logscale, dec,
+            pairs, pool_l, pool_r, n_active, site_weights,
+        )
+
+    # non-message terms of the potential -- child posterior corrections
+    # and topology-prior deltas from the carried tables, assembled ONCE
+    # over all P pairs outside the chunked/remat'd message work
+    terms = _pot_terms(
+        pairs, slot, leaf_counts, row_of_node, internal_logscale,
+        root_ll, N, dtype,
+    )                                                    # (K, P)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=dtype)
+    pots = ll_lex + terms.T[:, None, :]                  # (P, M, K)
+
+    pots = jnp.where(valid[:, None, None], pots, neg_inf)
+    flat = jnp.transpose(pots, (2, 0, 1)).reshape(K, P * M)
+    flat = flat - jax.scipy.special.logsumexp(flat, axis=1, keepdims=True)
+
+    if dec and "inj_twist_choice" in dec:
+        idx = dec["inj_twist_choice"]
+    elif dec and "twist_choice" in dec:
+        idx = dec["twist_choice"]
+    else:
+        idx = jax.random.categorical(key, flat, axis=1)
+    q_pen = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+
+    pair_idx = idx // M
+    m_idx = idx % M
+    p1 = pairs[pair_idx, 0]
+    p2 = pairs[pair_idx, 1]
+    ks = jnp.arange(K)
+    b_l = pool_l[pair_idx, m_idx, ks]
+    b_r = pool_r[pair_idx, m_idx, ks]
+    if have_P:
+        P_l_chosen = pool_P_l[pair_idx, m_idx, ks]
+        P_r_chosen = pool_P_r[pair_idx, m_idx, ks]
+    else:
+        P_l_chosen = P_r_chosen = None
+    return p1, p2, b_l, b_r, P_l_chosen, P_r_chosen, q_pen, ll_lex, idx
+
+
+def _twist_ll_lex(config, model, params, stationary, leaves, slot,
+                  row_of_node, internal_msgs, internal_logscale, dec,
+                  pairs, pool_l, pool_r, n_active, site_weights):
+    """Chunked pair-merge data log-likelihood enumeration, (P, M, K) in
+    LEXICOGRAPHIC pair order.  Returns (ll_lex, pool_P_l, pool_P_r);
+    the pools are the presampled transition tensors when available
+    (None otherwise)."""
+    twist = config.twist
+    M = twist.M
+    N, A, S = leaves.shape
+    K = config.K
+    dtype = leaves.dtype
+    P = pairs.shape[0]
+    have_P = "twist_P_l" in dec
+    from phylo_tpu.smc.sweep import _node_lookup
 
     # Enumerate in PREFIX order (valid pairs first -- see _prefix_order)
     # so whole chunks can be skipped at late ranks; the external pair
@@ -261,40 +376,43 @@ def twisted_extend(key, config, model, params, stationary, leaves,
                 n_chunks, C, M, K, A, A),
         )
 
-    root_ll_tbl = root_ll
-
     def chunk_potentials(xs):
+        """Pair-merge data log-likelihoods for one chunk, (C, M, K).
+
+        Flat batch layout is K-major (k * C + c): the gathered
+        (K, 2C, A, S) message block reshapes into the kernel's flat
+        particle axis for FREE, where the previous C-major layout paid
+        two (C K A S) physical transposes per chunk, forward and
+        backward (xprof round 3).  Only the small (C, M, K, A, A)
+        transition tensors get transposed.
+        """
         if have_P:
             pc, bl, br, cP_l, cP_r = xs
         else:
             pc, bl, br = xs      # (C, 2), (C, M, K), (C, M, K)
         pos = pc.T               # (2, C)
         nodes = jnp.take(slot, pos.reshape(-1), axis=1)  # (K, 2C)
-        msgs, lscs = _node_lookup(
+        msgs, _ = _node_lookup(
             leaves, internal_msgs, internal_logscale, row_of_node,
             nodes, unified=config.replicate_leaves,
-        )                        # (K, 2C, A, S), (K, 2C)
-        msgs = msgs.reshape(K, 2, C, A, S)
-        lscs = lscs.reshape(K, 2, C)
-        m_l = jnp.transpose(msgs[:, 0], (1, 0, 2, 3)).reshape(
-            C * K, A, S)
-        m_r = jnp.transpose(msgs[:, 1], (1, 0, 2, 3)).reshape(
-            C * K, A, S)
+        )                        # (K, 2C, A, S)
+        m_l = msgs[:, :C].reshape(K * C, A, S)
+        m_r = msgs[:, C:].reshape(K * C, A, S)
 
         if have_P:
-            P_l = jnp.transpose(cP_l, (1, 0, 2, 3, 4)).reshape(
-                M, C * K, A, A)
-            P_r = jnp.transpose(cP_r, (1, 0, 2, 3, 4)).reshape(
-                M, C * K, A, A)
+            P_l = jnp.transpose(cP_l, (1, 2, 0, 3, 4)).reshape(
+                M, K * C, A, A)
+            P_r = jnp.transpose(cP_r, (1, 2, 0, 3, 4)).reshape(
+                M, K * C, A, A)
         else:
             P_lr = model.transition(
                 params["model"], jnp.concatenate([bl, br])
             ).astype(dtype)      # (2C, M, K, A, A)
-            P_l = jnp.transpose(P_lr[:C], (1, 0, 2, 3, 4)).reshape(
-                M, C * K, A, A)
-            P_r = jnp.transpose(P_lr[C:], (1, 0, 2, 3, 4)).reshape(
-                M, C * K, A, A)
-        # merge log-liks over the flat (C K) batch
+            P_l = jnp.transpose(P_lr[:C], (1, 2, 0, 3, 4)).reshape(
+                M, K * C, A, A)
+            P_r = jnp.transpose(P_lr[C:], (1, 2, 0, 3, 4)).reshape(
+                M, K * C, A, A)
+        # merge log-liks over the flat (K C) batch
         w_vec = (site_weights if site_weights is not None
                  else jnp.ones((S,), dtype))
         if twist.use_pallas_ll and jax.default_backend() == "tpu":
@@ -304,7 +422,7 @@ def twisted_extend(key, config, model, params, stationary, leaves,
 
             ll_m = fused_pair_loglik(
                 m_l, m_r, P_l, P_r, stationary, w_vec
-            ).reshape(M, C, K)
+            ).reshape(M, K, C)
         else:
             # XLA-fused forward + streaming Pallas backward (the
             # XLA-derived reverse pass re-read the (M, CK, S) tensors
@@ -313,32 +431,15 @@ def twisted_extend(key, config, model, params, stationary, leaves,
 
             ll_m = pair_loglik(
                 m_l, m_r, P_l, P_r, stationary, w_vec
-            ).reshape(M, C, K)
+            ).reshape(M, K, C)
 
-        # scaled-message posteriors of the children, from carried state
-        rll = jnp.take(root_ll_tbl, pos.reshape(-1), axis=1)  # (K, 2C)
-        rll = rll.reshape(K, 2, C) - lscs
-        cts = jnp.take(leaf_counts, pos.reshape(-1), axis=1)
-        cts = cts.reshape(K, 2, C)
-        c1, c2 = cts[:, 0], cts[:, 1]                    # (K, C)
-        d_prior = (
-            topology_log_prior(c1 + c2)
-            - topology_log_prior(c1)
-            - topology_log_prior(c2)
-        ).astype(dtype)                                  # (K, C)
-        pot = (
-            ll_m
-            - rll[:, 0].T[None]
-            - rll[:, 1].T[None]
-            + d_prior.T[None]
-        )                                                # (M, C, K)
-        return jnp.transpose(pot, (1, 0, 2))             # (C, M, K)
+        return jnp.transpose(ll_m, (2, 0, 1))            # (C, M, K)
 
     chunk_fn = (jax.checkpoint(chunk_potentials) if twist.remat
                 else chunk_potentials)
     neg_inf = jnp.asarray(-jnp.inf, dtype=dtype)
     if n_chunks == 1:
-        pots_s = chunk_fn(jax.tree.map(lambda x: x[0], xs_chunks))[:P]
+        ll_s = chunk_fn(jax.tree.map(lambda x: x[0], xs_chunks))[:P]
     else:
         # chunks whose first (prefix-ordered) pair is already past the
         # valid count contain no valid pairs at this rank: skip the
@@ -354,32 +455,10 @@ def twisted_extend(key, config, model, params, stationary, leaves,
                 lambda: jnp.full((C, M, K), neg_inf, dtype=dtype),
             )
 
-        pots_s = lax.map(
+        ll_s = lax.map(
             guarded, (starts,) + xs_chunks
         ).reshape(P_pad, M, K)[:P]                       # (P, M, K)
     # back to lexicographic pair indexing for the flat categorical
-    pots = pots_s[jnp.asarray(inverse_np)]
-
-    pots = jnp.where(valid[:, None, None], pots, neg_inf)
-    flat = jnp.transpose(pots, (2, 0, 1)).reshape(K, P * M)
-    flat = flat - jax.scipy.special.logsumexp(flat, axis=1, keepdims=True)
-
-    if dec and "twist_choice" in dec:
-        idx = dec["twist_choice"]
-    else:
-        idx = jax.random.categorical(key, flat, axis=1)
-    q_pen = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
-
-    pair_idx = idx // M
-    m_idx = idx % M
-    p1 = pairs[pair_idx, 0]
-    p2 = pairs[pair_idx, 1]
-    ks = jnp.arange(K)
-    b_l = pool_l[pair_idx, m_idx, ks]
-    b_r = pool_r[pair_idx, m_idx, ks]
-    if have_P:
-        P_l_chosen = pool_P_l[pair_idx, m_idx, ks]
-        P_r_chosen = pool_P_r[pair_idx, m_idx, ks]
-    else:
-        P_l_chosen = P_r_chosen = None
-    return p1, p2, b_l, b_r, P_l_chosen, P_r_chosen, q_pen
+    ll_lex = ll_s[jnp.asarray(inverse_np)]
+    return (ll_lex, pool_P_l if have_P else None,
+            pool_P_r if have_P else None)

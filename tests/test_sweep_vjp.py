@@ -212,6 +212,134 @@ def test_manual_vjp_jc69_value_and_grad():
                                    rtol=1e-8, atol=1e-12)
 
 
+TWIST_CONFIGS = [
+    dict(),
+    dict(carried_weights=True),
+    dict(resampling="systematic"),
+]
+
+
+@pytest.mark.parametrize("overrides", TWIST_CONFIGS)
+def test_manual_vjp_twist_grads_match_xla_ad(overrides):
+    """VNCSMC manual whole-sweep VJP (round 3): parameter gradients
+    through the twisted proposal's pair enumeration must match XLA AD
+    over the same sweep."""
+    from phylo_tpu.smc.twist import TwistConfig
+
+    genome, model, params = _setup()
+    key = jax.random.PRNGKey(17)
+    g_manual = _grads(
+        SweepConfig(K=6, twist=TwistConfig(M=3), manual_vjp=True,
+                    **overrides),
+        genome, model, params, key,
+    )
+    g_auto = _grads(
+        SweepConfig(K=6, twist=TwistConfig(M=3), manual_vjp=False,
+                    **overrides),
+        genome, model, params, key,
+    )
+    for a, b in zip(jax.tree.leaves(g_manual), jax.tree.leaves(g_auto)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-12)
+        assert np.any(np.asarray(a) != 0.0)
+
+
+def test_manual_vjp_twist_presampled_expm():
+    """The presampled-pool-expm twist path saves P_l/P_r residuals; the
+    manual backward recomputes transitions from the unit-rate draws
+    either way -- gradients must still match XLA AD."""
+    from phylo_tpu.smc.twist import TwistConfig
+
+    genome, model, params = _setup(N=6, S=25)
+    key = jax.random.PRNGKey(23)
+    tw = TwistConfig(M=2, presample_expm=True, presample_budget_mb=512)
+    g_manual = _grads(SweepConfig(K=4, twist=tw, manual_vjp=True),
+                      genome, model, params, key)
+    g_auto = _grads(SweepConfig(K=4, twist=tw, manual_vjp=False),
+                    genome, model, params, key)
+    for a, b in zip(jax.tree.leaves(g_manual), jax.tree.leaves(g_auto)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-12)
+
+
+def test_manual_vjp_twist_forward_values_identical():
+    from phylo_tpu.smc.twist import TwistConfig
+
+    genome, model, params = _setup()
+    key = jax.random.PRNGKey(29)
+    r1 = sample_phylogenies(
+        key, genome, model, params,
+        SweepConfig(K=6, twist=TwistConfig(M=3), manual_vjp=True),
+    )
+    r2 = sample_phylogenies(
+        key, genome, model, params,
+        SweepConfig(K=6, twist=TwistConfig(M=3), manual_vjp=False),
+    )
+    for f in dataclasses.fields(r1):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r1, f.name)),
+            np.asarray(getattr(r2, f.name)),
+            err_msg=f.name,
+        )
+
+
+def test_manual_vjp_twist_leaf_and_weight_grads():
+    """Data/site-weight cotangents flow through BOTH the merge DAG and
+    the twist potential enumeration (every candidate pair reads child
+    messages)."""
+    from phylo_tpu.smc.twist import TwistConfig
+
+    genome, model, params = _setup(S=21)
+    key = jax.random.PRNGKey(31)
+    w = jnp.linspace(0.5, 2.0, 21, dtype=jnp.float64)
+
+    def loss(leaves, sw, manual):
+        cfg = SweepConfig(K=6, twist=TwistConfig(M=3),
+                          manual_vjp=manual)
+        return -sample_phylogenies(
+            key, leaves, model, params, cfg, site_weights=sw
+        ).elbo
+
+    gl_m, gw_m = jax.grad(loss, argnums=(0, 1))(genome, w, True)
+    gl_a, gw_a = jax.grad(loss, argnums=(0, 1))(genome, w, False)
+    np.testing.assert_allclose(np.asarray(gl_m), np.asarray(gl_a),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gw_m), np.asarray(gw_a),
+                               rtol=1e-8, atol=1e-12)
+    assert np.any(np.asarray(gl_m) != 0.0)
+
+
+def test_manual_vjp_twist_sharded_grads_match_single_device():
+    """VNCSMC manual VJP on a (2,4) k x s mesh (VERDICT r2 item 6): the
+    twist reverse pass's chunked scan + pending-buffer scatters must
+    shard cleanly and match the single-device gradients."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from phylo_tpu.parallel import make_mesh, sweep_sharding
+    from phylo_tpu.smc.twist import TwistConfig
+
+    genome, model, params = _setup(N=6, S=40, seed=2)
+    key = jax.random.PRNGKey(37)
+    cfg = SweepConfig(K=8, twist=TwistConfig(M=2), manual_vjp=True)
+
+    def loss(params, leaves, sh):
+        return -sample_phylogenies(
+            key, leaves, model, params, cfg, shardings=sh
+        ).elbo
+
+    g_base = jax.grad(loss)(params, genome, None)
+    mesh = make_mesh((2, 4), ("k", "s"))
+    sh = sweep_sharding(mesh)
+    leaves_sh = jax.device_put(genome, sh.leaves)
+    g_sh = jax.jit(jax.grad(loss), static_argnums=(2,))(
+        params, leaves_sh, sh
+    )
+    for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
+        assert np.any(np.asarray(a) != 0.0)
+
+
 def test_buffered_eval_matches_plain_sweep():
     """sample_phylogenies_with_buffer: identical results to the plain
     sweep, and the returned buffer is immediately reusable (the sweep

@@ -1,13 +1,14 @@
-"""Capture an xprof trace of the twist fwd+bwd and print the op
-breakdown (framework_op_stats).
+"""Xprof trace of the FORWARD sweep at the headline config; prints the
+top device ops by self time (the per-rank dispatch chain VERDICT r2
+item 2 targets).
 
-Usage: python tools/twist_trace.py [dataset] [K]
+Usage: python tools/fwd_trace.py [K] [batch] [trace_dir]
 """
 
 import glob
+import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,35 +22,41 @@ from phylo_tpu.dataio import load_dataset
 from phylo_tpu.models.branches import init_branch_params
 from phylo_tpu.models.substitution import ReferenceQ
 from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies
-from phylo_tpu.smc.twist import TwistConfig
 
-ds = load_dataset(sys.argv[1] if len(sys.argv) > 1 else "primate")
-K = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+batch = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+trace_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/fwd_trace"
+
+ds = load_dataset("primate")
 model = ReferenceQ(A=ds.A)
 params = {
     "model": model.init_params(jnp.float32),
     "branches": init_branch_params(ds.N, dtype=jnp.float32),
 }
 leaves = jnp.asarray(ds.genome, dtype=jnp.float32)
-cfg = SweepConfig(K=K, twist=TwistConfig(M=10))
+if batch:
+    leaves = leaves[:, :batch]
+cfg = SweepConfig(K=K)
 
-
-def loss(p, key):
-    return -sample_phylogenies(key, leaves, model, p, cfg).elbo
-
-
-step = jax.jit(jax.value_and_grad(loss))
-out = step(params, jax.random.PRNGKey(0))
+fwd = jax.jit(
+    lambda key, p: sample_phylogenies(key, leaves, model, p, cfg).elbo
+)
+out = fwd(jax.random.PRNGKey(0), params)
 jax.block_until_ready(out)
 
-trace_dir = "/tmp/twist_trace"
+import time
+t0 = time.time()
+for _ in range(10):
+    out = fwd(jax.random.PRNGKey(0), params)
+jax.block_until_ready(out)
+print(f"fwd sweep: {(time.time() - t0) / 10 * 1e3:.2f} ms", flush=True)
+
 os.system(f"rm -rf {trace_dir}")
 with jax.profiler.trace(trace_dir):
-    for _ in range(3):
-        out = step(params, jax.random.PRNGKey(0))
+    for _ in range(10):
+        out = fwd(jax.random.PRNGKey(0), params)
     jax.block_until_ready(out)
 
-# summarize with the xprof converter (same table as vjp_trace_report)
 xplane = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
 try:
     from xprof.convert import raw_to_tool_data as rtd
@@ -58,20 +65,18 @@ except ImportError:
         raw_to_tool_data as rtd,
     )
 
-import json
-
 data, _ = rtd.xspace_to_tool_data(xplane, "framework_op_stats", {})
 payload = json.loads(data) if isinstance(data, (str, bytes)) else data
 table = payload[0]
 cols = [c["id"] for c in table["cols"]]
 recs = []
-for row in table["rows"]:
-    vals = [c.get("v") if c else None for c in row["c"]]
+for r in table["rows"]:
+    vals = [c.get("v") if c else None for c in r["c"]]
     recs.append(dict(zip(cols, vals)))
 recs = [r for r in recs if r.get("host_or_device") == "Device"]
 recs.sort(key=lambda r: -(r.get("total_self_time") or 0))
 tot = sum(r.get("total_self_time") or 0 for r in recs)
-print(f"device self-time total: {tot:.0f} us over 3 iters")
+print(f"device self-time total: {tot:.0f} us over 10 iters")
 print(f"{'self_us':>9} {'occ':>5}  op")
 for r in recs[:35]:
     print(

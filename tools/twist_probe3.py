@@ -47,7 +47,10 @@ def measure(ds_name, K, tw_kwargs, tag, fwd_only=False):
         "branches": init_branch_params(ds.N, dtype=jnp.float32),
     }
     leaves = jnp.asarray(ds.genome, dtype=jnp.float32)
-    cfg = SweepConfig(K=K, twist=TwistConfig(M=10, **tw_kwargs))
+    mv = os.environ.get("PHYLO_MANUAL_VJP", "auto")
+    mv = {"auto": "auto", "1": True, "0": False}[mv]
+    cfg = SweepConfig(K=K, twist=TwistConfig(M=10, **tw_kwargs),
+                      manual_vjp=mv)
 
     fwd = jax.jit(
         lambda key, p: sample_phylogenies(key, leaves, model, p, cfg).elbo
@@ -68,9 +71,12 @@ def measure(ds_name, K, tw_kwargs, tag, fwd_only=False):
 
 
 if __name__ == "__main__":
-    bwd = os.environ.get("PHYLO_TWIST_BWD_V2", "1")
+    bwdk = os.environ.get("PHYLO_TWIST_BWD_KERNEL", "1")
+    bwd = os.environ.get("PHYLO_TWIST_BWD_V2", "0")
     fwdk = os.environ.get("PHYLO_TWIST_FWD_V2", "1")
-    print(f"== knobs: BWD_V2={bwd} FWD_V2={fwdk} ==", flush=True)
+    mv = os.environ.get("PHYLO_MANUAL_VJP", "auto")
+    print(f"== knobs: BWD_KERNEL={bwdk} BWD_V2={bwd} FWD_V2={fwdk} "
+          f"MANUAL_VJP={mv} ==", flush=True)
     only = sys.argv[1] if len(sys.argv) > 1 else None
     if only in (None, "beta"):
         measure("betacorona1", 32, {}, "xla-fwd")
