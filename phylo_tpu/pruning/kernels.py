@@ -32,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 TK = 64    # particles per block (grid coarseness: keep program count
            # low -- hundreds of tiny programs per rank cost more in
@@ -1094,3 +1095,436 @@ def _pair_loglik_bwd(res, g):
 
 
 pair_loglik.defvjp(_pair_loglik_fwd, _pair_loglik_bwd)
+
+
+# ---------------------------------------------------------------------
+# Fused per-rank sweep kernel (VERDICT r2 item 2): child GATHER
+# (per-particle scalar-prefetch DMA straight from the unified
+# write-once buffer) -> transition application -> Hadamard merge ->
+# rescale -> root-loglik reduction -> in-place SCATTER of the merged
+# column back into the buffer via input/output aliasing.  One
+# pallas_call replaces the rank's gather / merge-kernel /
+# dynamic_update_slice chain, so HBM sees the two child messages once
+# (DMA read) and the merged message once (aliased block write) --
+# the separate gather materialization (read+write) and the
+# update-slice copy disappear.  Replaces the hot path at reference
+# vcsmc.py:180-188,231-245.
+#
+# NO gradient rule: only the manual whole-sweep VJP path (sweep_vjp)
+# may call this (its custom_vjp intercepts AD before it ever reaches
+# the kernel); the XLA-AD sweep keeps the unfused ops.
+# ---------------------------------------------------------------------
+
+TKF = int(_os.environ.get("PHYLO_FUSED_RANK_TK", "32"))
+FUSED_RANK = _os.environ.get("PHYLO_FUSED_RANK", "1") == "1"
+
+
+def _rank_tile(Sp):
+    """Particles per program for the fused rank kernels, shrunk for
+    long sequences so the (tk, A, Sp)-sized VMEM blocks (2 scratch + 2
+    cotangent outputs + live intermediates in the backward) stay under
+    the 16 MB scoped-vmem limit (DS1 Sp=2048 OOMed at tk=32)."""
+    tk = TKF
+    while tk > 8 and tk * Sp > 32 * 1024:
+        tk //= 2
+    return tk
+
+
+def _dma_gather_children(idx_ref, leaves_hbm, buf_hbm, m1_s, m2_s,
+                         sems, k0, N, tk):
+    """Per-particle child fetch: leaves (node < N, shared (N, A, Sp)
+    array -- no K-fold replication) or internal messages
+    (buf[row, node - N]).  Each DMA moves one contiguous (A, Sp) slab;
+    both sources have identical dest shape, so the wait descriptor is
+    source-independent."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    waits = []
+    for k in range(tk):
+        for j, dst in ((0, m1_s), (1, m2_s)):
+            node = idx_ref[2 * j + 1, k0 + k]
+            row = idx_ref[2 * j, k0 + k]
+            sem = sems.at[j, k]
+            leaf_cp = pltpu.make_async_copy(
+                leaves_hbm.at[jnp.minimum(node, N - 1)], dst.at[k], sem
+            )
+            int_cp = pltpu.make_async_copy(
+                buf_hbm.at[row, jnp.maximum(node - N, 0)], dst.at[k], sem
+            )
+
+            @pl.when(node < N)
+            def _(cp=leaf_cp):
+                cp.start()
+
+            @pl.when(node >= N)
+            def _(cp=int_cp):
+                cp.start()
+
+            waits.append(int_cp)   # same dest/size either way
+    for cp in waits:
+        cp.wait()
+
+
+def _kernel_rank(idx_ref, outc_ref, leaves_hbm, buf_hbm, pl_ref, pr_ref,
+                 pi_ref, w_ref, bufo_ref, rootll_ref, logscale_ref,
+                 m1_s, m2_s, sems, *, A, N, tk):
+    from jax.experimental import pallas as pl
+
+    ik = pl.program_id(0)
+    _dma_gather_children(idx_ref, leaves_hbm, buf_hbm, m1_s, m2_s,
+                         sems, ik * tk, N, tk)
+
+    weights = w_ref[:]                                  # (1, Sp)
+    w_planes = []
+    for b in range(A):
+        u_b = None
+        v_b = None
+        for a in range(A):
+            pl_ab = pl_ref[:, a * A + b][:, None]       # (TKF, 1)
+            pr_ab = pr_ref[:, a * A + b][:, None]
+            tu = m1_s[:, a, :] * pl_ab
+            tv = m2_s[:, a, :] * pr_ab
+            u_b = tu if u_b is None else u_b + tu
+            v_b = tv if v_b is None else v_b + tv
+        w_planes.append(u_b * v_b)
+
+    scale = w_planes[0]
+    for b in range(1, A):
+        scale = jnp.maximum(scale, w_planes[b])
+    scale = jnp.maximum(scale, jnp.finfo(scale.dtype).tiny)
+
+    site_lik = None
+    for b in range(A):
+        bufo_ref[:, 0, b, :] = w_planes[b] / scale
+        term = w_planes[b] * pi_ref[0, b]
+        site_lik = term if site_lik is None else site_lik + term
+
+    rootll_ref[:] = jnp.sum(
+        jnp.log(site_lik) * weights, axis=-1, keepdims=True
+    )
+    logscale_ref[:] = jnp.sum(
+        jnp.log(scale) * weights, axis=-1, keepdims=True
+    )
+
+
+def _fused_rank_ref(leaves, buf, idx, outc, P_l, P_r, pi, weights):
+    """jnp reference of the fused rank update (CPU fallback + parity
+    oracle for interpret-mode CI).  Same child resolution as
+    _node_lookup's non-unified branch."""
+    N = leaves.shape[0]
+    R = buf.shape[1]
+    ms = []
+    for j in range(2):
+        node = idx[2 * j + 1]
+        row = idx[2 * j]
+        is_leaf = node < N
+        leaf_part = leaves[jnp.clip(node, 0, N - 1)]
+        int_part = buf[row, jnp.clip(node - N, 0, R - 1)]
+        ms.append(jnp.where(is_leaf[:, None, None], leaf_part, int_part))
+    merged, rootll, logscale = _ref_impl(ms[0], ms[1], P_l, P_r, pi,
+                                         weights)
+    zero = jnp.zeros((), outc.dtype)
+    buf = lax.dynamic_update_slice(
+        buf, merged[:, None], (zero, outc[0], zero, zero)
+    )
+    return buf, rootll, logscale
+
+
+def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights):
+    """One full rank update of the sweep, in place: child gather +
+    transition application + merge + rescale + root-loglik reduction +
+    merged-column scatter in ONE pallas_call.
+
+    leaves: (N, A, Sp) shared leaf messages (NOT replicated across
+    particles); buf: (K, R, A, Sp) write-once internal-message buffer
+    (node N+q in column q); idx: (4, K) int32 [row1, node1, row2,
+    node2] per-particle child coordinates (node < N reads
+    leaves[node], else buf[row, node-N]); outc: (1,) int32 destination
+    column (the rank r); P_l, P_r: (K, A, A); pi: (A,); weights: (Sp,).
+
+    Returns (buf', rootll_raw (K,), d_lsc (K,)) with buf' = buf except
+    column outc[0] = rescaled merged messages.  The buffer is ALIASED
+    (callers must treat `buf` as consumed).  Requires K % TKF == 0 and
+    Sp % TS == 0; the written column never appears among the gathered
+    children (write-once ordering).  NEVER differentiate through this:
+    manual-VJP / eval paths only (no AD rule).
+
+    v1 of this kernel gathered from the K-replicated unified buffer
+    over a (K-tile, site-tile) grid: the (A, ts) strided DMAs (4 rows x
+    2 KB) ran at ~400 us/rank and the replicated buffer build cost a
+    1.9 ms concatenate per sweep (xprof, tools/fwd_trace.py).  v2
+    fetches contiguous (A, Sp) slabs and drops the replication
+    entirely.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        return _fused_rank_ref(leaves, buf, idx, outc, P_l, P_r, pi,
+                               weights)
+
+    K, R, A, Sp = buf.shape
+    N = leaves.shape[0]
+    tk = _rank_tile(Sp)
+    grid = (K // tk,)
+    dtype = buf.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tk, A * A), lambda ik, idx, outc: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, A * A), lambda ik, idx, outc: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda ik, idx, outc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp), lambda ik, idx, outc: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tk, 1, A, Sp),
+                lambda ik, idx, outc: (ik, outc[0], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((tk, 1), lambda ik, idx, outc: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, 1), lambda ik, idx, outc: (ik, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tk, A, Sp), dtype),
+            pltpu.VMEM((tk, A, Sp), dtype),
+            pltpu.SemaphoreType.DMA((2, tk)),
+        ],
+    )
+    buf_out, rootll, logscale = pl.pallas_call(
+        functools.partial(_kernel_rank, A=A, N=N, tk=tk),
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+        out_shape=[
+            jax.ShapeDtypeStruct(buf.shape, dtype),
+            jax.ShapeDtypeStruct((K, 1), dtype),
+            jax.ShapeDtypeStruct((K, 1), dtype),
+        ],
+        input_output_aliases={3: 0},   # buf (after 2 scalar args + leaves)
+    )(idx, outc, leaves, buf, P_l.reshape(K, A * A),
+      P_r.reshape(K, A * A), pi[None], weights[None])
+    return buf_out, rootll[:, 0], logscale[:, 0]
+
+
+def _kernel_rank_bwd(idx_ref, leaves_hbm, buf_hbm, pl_ref, pr_ref,
+                     pi_ref, w_ref, gm_ref, gr_ref, gl_ref,
+                     dm1_ref, dm2_ref, dpl_ref, dpr_ref, dpi_ref,
+                     dw_ref, m1_s, m2_s, sems, *, A, N, tk):
+    """Fused reverse of one rank: DMA child re-gather + merge backward
+    (same cotangent math as _kernel_merge_bwd, incl. reduce_max's
+    split-among-ties routing and the maximum(raw, tiny) half-split)."""
+    from jax.experimental import pallas as pl
+
+    ik = pl.program_id(0)
+    _dma_gather_children(idx_ref, leaves_hbm, buf_hbm, m1_s, m2_s,
+                         sems, ik * tk, N, tk)
+
+    w = w_ref[:]                                        # (1, Sp)
+    dtype = w.dtype
+
+    pl_c = [pl_ref[:, c][:, None] for c in range(A * A)]
+    pr_c = [pr_ref[:, c][:, None] for c in range(A * A)]
+
+    u = []
+    v = []
+    wp = []
+    site = None
+    for b in range(A):
+        u_b = None
+        v_b = None
+        for a in range(A):
+            tu = m1_s[:, a, :] * pl_c[a * A + b]
+            tv = m2_s[:, a, :] * pr_c[a * A + b]
+            u_b = tu if u_b is None else u_b + tu
+            v_b = tv if v_b is None else v_b + tv
+        u.append(u_b)
+        v.append(v_b)
+        wp.append(u_b * v_b)
+        term = wp[b] * pi_ref[0, b]
+        site = term if site is None else site + term
+
+    raw = wp[0]
+    for b in range(1, A):
+        raw = jnp.maximum(raw, wp[b])
+    tiny = jnp.finfo(dtype).tiny
+    scale = jnp.maximum(raw, tiny)
+
+    gr = gr_ref[:]                                      # (TKF, 1)
+    gl = gl_ref[:]
+    dsite = (gr * w) / site                             # (TKF, Sp)
+    dscale = (gl * w) / scale
+    inv_scale = 1.0 / scale
+    for b in range(A):
+        dscale = dscale - gm_ref[:, b, :] * (
+            wp[b] * inv_scale * inv_scale
+        )
+    draw = dscale * (
+        (raw > tiny).astype(dtype) + 0.5 * (raw == tiny).astype(dtype)
+    )
+    neq = None
+    eqs = []
+    for b in range(A):
+        eq = (wp[b] == raw).astype(dtype)
+        eqs.append(eq)
+        neq = eq if neq is None else neq + eq
+
+    dm1 = [None] * A
+    dm2 = [None] * A
+    cols_l = [None] * (A * A)
+    cols_r = [None] * (A * A)
+    dpi = []
+    for b in range(A):
+        dwp_b = (
+            gm_ref[:, b, :] * inv_scale
+            + dsite * pi_ref[0, b]
+            + draw * (eqs[b] / neq)
+        )
+        du_b = dwp_b * v[b]
+        dv_b = dwp_b * u[b]
+        for a in range(A):
+            t1 = du_b * pl_c[a * A + b]
+            t2 = dv_b * pr_c[a * A + b]
+            dm1[a] = t1 if dm1[a] is None else dm1[a] + t1
+            dm2[a] = t2 if dm2[a] is None else dm2[a] + t2
+            cols_l[a * A + b] = jnp.sum(du_b * m1_s[:, a, :], axis=-1)
+            cols_r[a * A + b] = jnp.sum(dv_b * m2_s[:, a, :], axis=-1)
+        dpi.append(jnp.sum(dsite * wp[b]))
+    for a in range(A):
+        dm1_ref[:, a, :] = dm1[a]
+        dm2_ref[:, a, :] = dm2[a]
+    dpl_ref[:] = jnp.stack(cols_l, axis=-1)             # (TKF, A*A)
+    dpr_ref[:] = jnp.stack(cols_r, axis=-1)
+
+    # dpi / dw accumulate across the (sequential) particle grid into a
+    # single VMEM-resident (8, .) block (row 0 carries the value; the
+    # 8-row shape satisfies the TPU block tiling rule)
+    @pl.when(ik == 0)
+    def _():
+        dpi_ref[:] = jnp.zeros_like(dpi_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    dpi_ref[0, :] += jnp.stack(dpi)
+    # site-weight cotangent: rootll = sum_s w_s log(site), logscale =
+    # sum_s w_s log(scale) -> dw_s = sum_k gr_k log(site) + gl_k
+    # log(scale)
+    dw_ref[0, :] += jnp.sum(
+        gr * jnp.log(site) + gl * jnp.log(scale), axis=0
+    )
+
+
+def _fused_rank_bwd_ref(leaves, buf, idx, gm, gr, gl, P_l, P_r, pi,
+                        weights):
+    """jnp reference for interpret-mode CI: jax.vjp of the forward
+    child-resolution + _ref_impl chain."""
+    N = leaves.shape[0]
+    R = buf.shape[1]
+
+    def fwd(m1, m2, P_l, P_r, pi, weights):
+        return _ref_impl(m1, m2, P_l, P_r, pi, weights)
+
+    ms = []
+    for j in range(2):
+        node = idx[2 * j + 1]
+        row = idx[2 * j]
+        is_leaf = node < N
+        leaf_part = leaves[jnp.clip(node, 0, N - 1)]
+        int_part = buf[row, jnp.clip(node - N, 0, R - 1)]
+        ms.append(jnp.where(is_leaf[:, None, None], leaf_part, int_part))
+    _, vjp = jax.vjp(fwd, ms[0], ms[1], P_l, P_r, pi, weights)
+    dm1, dm2, dPl, dPr, dpi, dw = vjp((gm, gr, gl))
+    return dm1, dm2, dPl, dPr, dpi[None], dw[None]
+
+
+def fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l, P_r, pi, weights):
+    """Reverse of one rank's merge in ONE pallas_call: re-gathers both
+    children by DMA (same idx contract as fused_rank_update) and runs
+    the streaming merge backward.
+
+    gm: (K, A, Sp) merged-message cotangent (the pending column);
+    gr, gl: (K,) rootll_raw / d_lsc cotangents.  Returns (dm1, dm2
+    (K, A, Sp), dPl, dPr (K, A, A), dpi_part (nprog, A), dw_part
+    (nprog, Sp)); the caller scatter-adds dm into pending/dleaves and
+    sums the partials over programs.  The XLA-AD equivalent chain
+    (gather + select + scattered reduce/mul fusions) measured ~18 ms
+    per step at primate/K=2048 (tools/vjp_trace.py round 3)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        return _fused_rank_bwd_ref(leaves, buf, idx, gm, gr, gl, P_l,
+                                   P_r, pi, weights)
+
+    K, R, A, Sp = buf.shape
+    N = leaves.shape[0]
+    tk = _rank_tile(Sp)
+    nprog = K // tk
+    dtype = buf.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tk, A * A), lambda ik, idx: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, A * A), lambda ik, idx: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda ik, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp), lambda ik, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, A, Sp), lambda ik, idx: (ik, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, 1), lambda ik, idx: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, 1), lambda ik, idx: (ik, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tk, A, Sp), lambda ik, idx: (ik, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, A, Sp), lambda ik, idx: (ik, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, A * A), lambda ik, idx: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, A * A), lambda ik, idx: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, A), lambda ik, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Sp), lambda ik, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tk, A, Sp), dtype),
+            pltpu.VMEM((tk, A, Sp), dtype),
+            pltpu.SemaphoreType.DMA((2, tk)),
+        ],
+    )
+    dm1, dm2, dpl, dpr, dpi, dw = pl.pallas_call(
+        functools.partial(_kernel_rank_bwd, A=A, N=N, tk=tk),
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+        out_shape=[
+            jax.ShapeDtypeStruct((K, A, Sp), dtype),
+            jax.ShapeDtypeStruct((K, A, Sp), dtype),
+            jax.ShapeDtypeStruct((K, A * A), dtype),
+            jax.ShapeDtypeStruct((K, A * A), dtype),
+            jax.ShapeDtypeStruct((8, A), dtype),
+            jax.ShapeDtypeStruct((8, Sp), dtype),
+        ],
+    )(idx, leaves, buf, P_l.reshape(K, A * A), P_r.reshape(K, A * A),
+      pi[None], weights[None], gm, gr[:, None], gl[:, None])
+    return (dm1, dm2, dpl.reshape(K, A, A), dpr.reshape(K, A, A),
+            dpi[:1], dw[:1])

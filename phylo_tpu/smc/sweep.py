@@ -426,7 +426,7 @@ def sample_phylogenies(key, leaves, model, params, config, *,
 def _sample_body(key, leaves, model, params, config, *,
                  decisions=None, shardings=None, site_weights=None,
                  injected=None, want_aux=False, leaf_buffer=None,
-                 want_buffer=False):
+                 want_buffer=False, fused_rank=False):
     """Run one full CSMC sweep.
 
     Parameters
@@ -479,6 +479,18 @@ def _sample_body(key, leaves, model, params, config, *,
         and A <= 8
         and blocks is None
     )
+    if fused_rank:
+        # fused gather->merge->scatter rank kernel (kernels._kernel_rank):
+        # only on the manual-VJP / eval paths (no AD rule), unsharded,
+        # unified-buffer, non-twist sweeps with tile-divisible K
+        from phylo_tpu.pruning.kernels import FUSED_RANK, TKF
+
+        fused_rank = (
+            FUSED_RANK and use_pallas and config.replicate_leaves
+            and config.twist is None and shardings is None
+            and decisions is None and injected is None
+            and K % TKF == 0
+        )
     if use_pallas:
         # pre-pad the site axis to the kernel tile so the per-rank pad
         # op disappears; padding columns are all-ones with weight 0
@@ -523,10 +535,12 @@ def _sample_body(key, leaves, model, params, config, *,
             # write-before-read so any leftover content is fine
             assert config.replicate_leaves
             internal_msgs0 = leaf_buffer
-        elif config.replicate_leaves:
+        elif config.replicate_leaves and not fused_rank:
             # unified buffer: leaves replicated in columns 0..N-1,
             # internal node q at column N+q -> child fetch is one
-            # gather, no select
+            # gather, no select.  The fused rank kernel resolves leaf
+            # children against the shared (N, A, Sp) array in-kernel,
+            # so it always uses the internal-only buffer below.
             internal_msgs0 = jnp.concatenate(
                 [
                     jnp.broadcast_to(leaves[None], (K, N, A, S)),
@@ -699,6 +713,28 @@ def _sample_body(key, leaves, model, params, config, *,
             # reverse pass in sweep_vjp._messages_bwd)
             node_lsc = dec["inj_dlsc"] + lsc1 + lsc2
             ll_new = dec["inj_rootll"] + lsc1 + lsc2
+        elif fused_rank:
+            # ---- 4''. Fused rank kernel: gather + merge + scatter ------
+            # one pallas_call DMA-gathers both children (leaves from the
+            # shared (N, A, Sp) array, internal nodes from the
+            # write-once buffer) and writes the merged column back in
+            # place (input/output aliasing) -- no gather
+            # materialization, no update-slice copy, no K-fold leaf
+            # replication
+            from phylo_tpu.pruning.kernels import fused_rank_update
+
+            idx4 = jnp.stack([
+                rows_n[:, 0], nodes[:, 0], rows_n[:, 1], nodes[:, 1],
+            ]).astype(jnp.int32)
+            outc = jnp.reshape(r, (1,)).astype(jnp.int32)
+            w_vec = (site_weights if site_weights is not None
+                     else jnp.ones((S,), dtype))
+            internal_msgs, rootll_raw, d_lsc = fused_rank_update(
+                leaves, state["internal_msgs"], idx4, outc, P_l, P_r,
+                stationary, w_vec,
+            )
+            node_lsc = d_lsc + lsc1 + lsc2
+            ll_new = rootll_raw + lsc1 + lsc2
         else:
             msgs, _ = _node_lookup(
                 leaves, state["internal_msgs"],

@@ -62,15 +62,17 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
         res, _ = _sample_body(
             key, leaves, model, params, config,
             shardings=shardings, site_weights=site_weights,
-            want_aux=True,
+            want_aux=True, fused_rank=True,
         )
         return res
 
     def f_fwd(params, key, leaves, site_weights):
+        # fused_rank is safe here: this custom_vjp intercepts AD, so
+        # the no-gradient fused kernel is never differentiated
         res, aux = _sample_body(
             key, leaves, model, params, config,
             shardings=shardings, site_weights=site_weights,
-            want_aux=True,
+            want_aux=True, fused_rank=True,
         )
         return res, (params, key, leaves, site_weights, aux)
 
@@ -432,6 +434,16 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
             )
     own = jnp.arange(K, dtype=rows_all.dtype)[:, None]
 
+    # fused reverse rank kernel: the internal-only buffer layout is the
+    # marker that the forward ran the fused rank kernel (TPU,
+    # K % TKF == 0), so its backward twin applies too
+    from phylo_tpu.pruning.kernels import INTERPRET, TKF, fused_rank_bwd
+
+    use_fused = (
+        buf.shape[1] == R and K % TKF == 0
+        and (jax.default_backend() == "tpu" or INTERPRET)
+    )
+
     dPl_out = [None] * R
     dPr_out = [None] * R
     dpi = jnp.zeros_like(pi)
@@ -441,26 +453,39 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
         rows, ids = rows_all[r], ids_all[r]
         cot_merged = pending[:, r]
 
-        # child re-gather -- mirrors _node_lookup on the final buffer,
-        # but as TWO (K, A, S) gathers: the pair-fused form pays a
-        # (K, 2, A, S) materialization + squeeze copies here (bandwidth
-        # beats latency at reverse-pass sizes)
-        is_leaf = ids < N
-        if config.replicate_leaves:
-            brow = jnp.where(is_leaf, own, rows)
-            m1 = buf[brow[:, 0], ids[:, 0]]
-            m2 = buf[brow[:, 1], ids[:, 1]]
+        if use_fused:
+            is_leaf = ids < N
+            idx4 = jnp.stack([
+                rows[:, 0], ids[:, 0], rows[:, 1], ids[:, 1],
+            ]).astype(jnp.int32)
+            dm1, dm2, dPl, dPr, dpi_p, dw_p = fused_rank_bwd(
+                leaves_sm, buf, idx4, cot_merged, g_rootll[r],
+                g_dlsc[r], P_l_all[r], P_r_all[r], pi, w_vec,
+            )
+            dpi_r = jnp.sum(dpi_p, axis=0)
+            dw_r = jnp.sum(dw_p, axis=0)
         else:
-            q = jnp.clip(ids - N, 0, R - 1)
-            leaf_part = leaves_sm[jnp.clip(ids, 0, N - 1)]
-            int_part = buf[rows, q]
-            m = jnp.where(is_leaf[..., None, None], leaf_part, int_part)
-            m1, m2 = m[:, 0], m[:, 1]
+            # child re-gather -- mirrors _node_lookup on the final
+            # buffer, but as TWO (K, A, S) gathers: the pair-fused form
+            # pays a (K, 2, A, S) materialization + squeeze copies here
+            # (bandwidth beats latency at reverse-pass sizes)
+            is_leaf = ids < N
+            if buf.shape[1] == N + R:
+                brow = jnp.where(is_leaf, own, rows)
+                m1 = buf[brow[:, 0], ids[:, 0]]
+                m2 = buf[brow[:, 1], ids[:, 1]]
+            else:
+                q = jnp.clip(ids - N, 0, R - 1)
+                leaf_part = leaves_sm[jnp.clip(ids, 0, N - 1)]
+                int_part = buf[rows, q]
+                m = jnp.where(is_leaf[..., None, None], leaf_part,
+                              int_part)
+                m1, m2 = m[:, 0], m[:, 1]
 
-        dm1, dm2, dPl, dPr, dpi_r, dw_r = _merge_bwd(
-            (m1, m2, P_l_all[r], P_r_all[r], pi, w_vec),
-            (cot_merged, g_rootll[r], g_dlsc[r]),
-        )
+            dm1, dm2, dPl, dPr, dpi_r, dw_r = _merge_bwd(
+                (m1, m2, P_l_all[r], P_r_all[r], pi, w_vec),
+                (cot_merged, g_rootll[r], g_dlsc[r]),
+            )
         dPl_out[r], dPr_out[r] = dPl, dPr
         dpi = dpi + dpi_r
         dw = dw + dw_r

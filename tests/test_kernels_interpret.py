@@ -213,6 +213,101 @@ def test_merge_backward_kernel_handles_max_ties(interpret_mode, rng):
         )
 
 
+def _rank_inputs(rng, K, R, N, A, S):
+    import jax.numpy as jnp
+
+    buf = jnp.asarray(rng.uniform(0.05, 1.0, (K, R, A, S)))
+    leaves = jnp.asarray(rng.uniform(0.05, 1.0, (N, A, S)))
+    # children: mix of leaves (node < N) and internals (N..N+R-1)
+    nodes = rng.integers(0, N + R, (2, K))
+    rows = rng.integers(0, K, (2, K))
+    idx = jnp.asarray(
+        np.stack([rows[0], nodes[0], rows[1], nodes[1]]), jnp.int32
+    )
+    P_l = jnp.asarray(rng.uniform(0.05, 1.0, (K, A, A)))
+    P_r = jnp.asarray(rng.uniform(0.05, 1.0, (K, A, A)))
+    pi = rng.uniform(0.1, 1.0, (A,))
+    pi = jnp.asarray(pi / pi.sum())
+    w = jnp.asarray(rng.uniform(0.5, 2.0, (S,)))
+    return buf, leaves, idx, P_l, P_r, pi, w
+
+
+@pytest.mark.parametrize("K,R,N,A,S", [(8, 5, 6, 4, 128), (16, 3, 4, 4, 256)])
+def test_fused_rank_update_matches_ref(interpret_mode, rng, K, R, N, A, S,
+                                       monkeypatch):
+    """Round-3 fused per-rank kernel (gather + merge + in-place
+    scatter): full parity with the jnp reference chain, including the
+    leaf-vs-internal DMA source select and the aliased column write."""
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(kernels, "TKF", 4)
+    buf, leaves, idx, P_l, P_r, pi, w = _rank_inputs(rng, K, R, N, A, S)
+    outc = jnp.asarray([R - 1], jnp.int32)
+
+    buf_k, rll_k, lsc_k = kernels.fused_rank_update(
+        leaves, buf, idx, outc, P_l, P_r, pi, w
+    )
+    buf_r, rll_r, lsc_r = kernels._fused_rank_ref(
+        leaves, buf, idx, outc, P_l, P_r, pi, w
+    )
+    np.testing.assert_allclose(np.asarray(buf_k), np.asarray(buf_r),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(rll_k), np.asarray(rll_r),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(lsc_k), np.asarray(lsc_r),
+                               rtol=1e-12)
+
+
+@pytest.mark.parametrize("K,R,N,A,S", [(8, 5, 6, 4, 128), (16, 3, 4, 4, 256)])
+def test_fused_rank_bwd_matches_jnp_vjp(interpret_mode, rng, K, R, N, A, S,
+                                        monkeypatch):
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(kernels, "TKF", 4)
+    buf, leaves, idx, P_l, P_r, pi, w = _rank_inputs(rng, K, R, N, A, S)
+    gm = jnp.asarray(rng.normal(0, 1.0, (K, A, S)))
+    gr = jnp.asarray(rng.normal(0, 1.0, (K,)))
+    gl = jnp.asarray(rng.normal(0, 1.0, (K,)))
+
+    got = kernels.fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l, P_r,
+                                 pi, w)
+    want = kernels._fused_rank_bwd_ref(leaves, buf, idx, gm, gr, gl,
+                                       P_l, P_r, pi, w)
+    names = ["dm1", "dm2", "dPl", "dPr", "dpi", "dw"]
+    for n, a, b in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12,
+            err_msg=n,
+        )
+
+
+def test_fused_rank_bwd_handles_max_ties(interpret_mode, rng, monkeypatch):
+    # identical P columns + uniform pi -> every w_plane ties at the max
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(kernels, "TKF", 4)
+    K, R, N, A, S = 8, 4, 5, 4, 128
+    buf, leaves, idx, _, _, _, w = _rank_inputs(rng, K, R, N, A, S)
+    col = rng.uniform(0.05, 1.0, (K, A, 1))
+    P_l = jnp.asarray(np.broadcast_to(col, (K, A, A)))
+    P_r = jnp.asarray(np.broadcast_to(col, (K, A, A)))
+    pi = jnp.full((A,), 1.0 / A)
+    gm = jnp.asarray(rng.normal(0, 1.0, (K, A, S)))
+    gr = jnp.asarray(rng.normal(0, 1.0, (K,)))
+    gl = jnp.asarray(rng.normal(0, 1.0, (K,)))
+
+    got = kernels.fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l, P_r,
+                                 pi, w)
+    want = kernels._fused_rank_bwd_ref(leaves, buf, idx, gm, gr, gl,
+                                       P_l, P_r, pi, w)
+    for n, a, b in zip(["dm1", "dm2", "dPl", "dPr", "dpi", "dw"], got,
+                       want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12,
+            err_msg=n,
+        )
+
+
 def test_fused_merge_custom_vjp_dispatches_to_kernel(interpret_mode, rng):
     import jax
     import jax.numpy as jnp

@@ -36,7 +36,9 @@ params = {
 leaves = jnp.asarray(ds.genome, dtype=jnp.float32)
 if batch:
     leaves = leaves[:, :batch]
-cfg = SweepConfig(K=K)
+mv = {"auto": "auto", "1": True, "0": False}[
+    os.environ.get("PHYLO_MANUAL", "auto")]
+cfg = SweepConfig(K=K, manual_vjp=mv)
 
 fwd = jax.jit(
     lambda key, p: sample_phylogenies(key, leaves, model, p, cfg).elbo

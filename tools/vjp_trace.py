@@ -62,20 +62,20 @@ except ImportError:
     )
 
 data, _ = rtd.xspace_to_tool_data(xplane, "framework_op_stats", {})
-rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-# gviz table: rows under 'rows', cols under 'cols'
-cols = [c["label"] for c in rows["cols"]]
-i_name = cols.index("Operation")if "Operation" in cols else 1
-print(f"{'self_us':>10}  {'total_us':>10}  op")
-table = []
-for r in rows["rows"]:
-    vals = [c["v"] for c in r["c"]]
-    rec = dict(zip(cols, vals))
-    table.append(rec)
-key_self = next(c for c in cols if "Self" in c and "time" in c.lower())
-table.sort(key=lambda r: -float(r.get(key_self) or 0))
-for rec in table[:25]:
-    tot = next((rec[c] for c in cols if "Total" in c and "time" in c.lower()), "")
-    name = rec.get("Operation") or rec.get("Op name") or ""
-    typ = rec.get("Type") or ""
-    print(f"{float(rec[key_self] or 0):>10.1f}  {tot!s:>10}  {typ:<18} {name[:90]}")
+payload = json.loads(data) if isinstance(data, (str, bytes)) else data
+table = payload[0]
+cols = [c["id"] for c in table["cols"]]
+recs = []
+for r in table["rows"]:
+    vals = [c.get("v") if c else None for c in r["c"]]
+    recs.append(dict(zip(cols, vals)))
+recs = [r for r in recs if r.get("host_or_device") == "Device"]
+recs.sort(key=lambda r: -(r.get("total_self_time") or 0))
+tot = sum(r.get("total_self_time") or 0 for r in recs)
+print(f"device self-time total: {tot:.0f} us over 5 iters")
+print(f"{'self_us':>9} {'occ':>5}  op")
+for r in recs[:35]:
+    print(
+        f"{r['total_self_time']:>9.1f} {r['occurrences']:>5}  "
+        f"{str(r['type'])[:14]:<14} {str(r['operation'])[:90]}"
+    )
