@@ -140,13 +140,15 @@ class SweepConfig:
     # fall back to XLA AD.  Gradient semantics are identical (biased
     # resampling gradient: indices constant, gathered values
     # differentiable; matches XLA AD to 1e-8 in tests/test_sweep_vjp).
-    # "auto" (default) enables it when N * S >= 16384 AND N <= 64: it
-    # avoids XLA AD's per-rank residual stacking, winning at scale (DS1
-    # 27x1949 K=2048 fwd+bwd 203 -> 177 ms) while losing slightly on
-    # small minibatches (primate batch-256: 15.3 -> 16.5 ms); True /
-    # False force it.  The N cap bounds the reverse pass's Python
-    # unroll (N-1 straight-line rank blocks) so many-taxa datasets
-    # don't blow compile time; explicit manual_vjp=True overrides it.
+    # "auto" (default) enables it when K * N * S >= 3e6 AND N <= 64.
+    # With the fused rank kernels (round 3) the manual path wins at
+    # every probed at-scale config (primate K=2048 full-S step 43.5 ->
+    # 23.7 ms, batch-256 19.9 -> 18.4; DS1 K=2048 full-S 199 -> 91 ms)
+    # and loses only on small problems (primate K=512 batch-256 5.8 ->
+    # 7.1 ms); True / False force it.  The N cap bounds the reverse
+    # pass's Python unroll (N-1 straight-line rank blocks) so
+    # many-taxa datasets don't blow compile time; explicit
+    # manual_vjp=True overrides it.
     # Cotangents are produced for params, leaves AND site_weights
     # (leaf/weight chains are dead-code-eliminated when unused).
     manual_vjp: Any = "auto"
@@ -399,7 +401,7 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     manual = config.manual_vjp
     N, S = leaves.shape[0], leaves.shape[1]
     if manual == "auto":
-        manual = N * S >= 16384 and N <= 64
+        manual = config.K * N * S >= 3_000_000 and N <= 64
         if config.twist is not None:
             # the twist path's AD bookkeeping (per-rank buffer
             # residuals + dense chunk-cotangent accumulation) is what

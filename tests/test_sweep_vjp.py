@@ -154,13 +154,16 @@ def test_manual_vjp_auto_caps_taxa_count():
     many-taxa datasets (compile-time guard); explicit True overrides."""
     from phylo_tpu.smc.sweep import sample_phylogenies as sp  # noqa: F401
 
-    # N=70, S=300 -> N*S >= 16384 but N > 64: auto stays on XLA AD.
-    # We only check the routing predicate, not a 70-taxon sweep.
-    N, S = 70, 300
-    manual = N * S >= 16384 and N <= 64
-    assert manual is False
-    N, S = 27, 1949   # DS1 stays on the manual path
-    assert (N * S >= 16384 and N <= 64) is True
+    def auto(K, N, S):
+        return K * N * S >= 3_000_000 and N <= 64
+
+    # N=70: auto stays on XLA AD however large the volume (compile
+    # guard).  We only check the routing predicate, not a 70-taxon
+    # sweep.
+    assert auto(2048, 70, 300) is False
+    assert auto(2048, 27, 1949) is True    # DS1 training scale
+    assert auto(2048, 12, 898) is True     # primate headline
+    assert auto(8, 7, 33) is False         # unit-test scale: XLA AD
 
 
 def test_manual_vjp_sharded_grads_match_single_device():
