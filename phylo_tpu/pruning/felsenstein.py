@@ -83,7 +83,11 @@ def root_log_likelihood(msg, stationary, log_scale_total=None,
 # site runs and the Pallas kernel consumes buffers without transposes.
 # ---------------------------------------------------------------------
 
+import os as _os
+
 import jax
+
+_BLOCKED_BWD = _os.environ.get("PHYLO_BLOCKED_BWD", "unrolled")
 
 
 @jax.custom_vjp
@@ -115,13 +119,34 @@ def _contract_blocked_fwd(m, P):
 
 
 def _contract_blocked_bwd(res, du):
-    # backward through the DENSE assembled form: block-batched (G, A,
-    # A) einsums measured 79 ms fwd+bwd at GammaSites G=4 K=512 (tiny
-    # badly-shaped matmuls), while the dense (G A)^2 einsum VJP -- the
-    # same ops the dense merge path differentiates -- runs the whole
-    # step in ~36 ms.  The off-diagonal blocks of dP_dense are simply
-    # discarded (they never influence the output).
+    # Variant knob (PHYLO_BLOCKED_BWD, A/B'd by tools/perf_probe.py
+    # gamma):
+    #   unrolled (default) -- the forward's own pattern run in reverse:
+    #     dm as A^2 Python-unrolled multiply-adds against P^T, dP as
+    #     A^2 fused multiply-reduce site sums.  G x fewer flops than
+    #     the dense form and no (G A)^2 assembly.
+    #   dense -- backward through the DENSE assembled form: measured
+    #     47 ms fwd+bwd at GammaSites G=4 K=512 vs 36 ms for the plain
+    #     dense-merge path (tiny badly-shaped matmuls); kept as the
+    #     A/B baseline.  The off-diagonal blocks of dP_dense are
+    #     simply discarded (they never influence the output).
     m, P = res
+    if _BLOCKED_BWD == "unrolled":
+        A = P.shape[-1]
+        rows = []
+        for a in range(A):
+            acc = None
+            for b in range(A):
+                t = du[..., :, b, :] * P[..., :, a, b, None]
+                acc = t if acc is None else acc + t
+            rows.append(acc)                    # (..., G, S)
+        dm = jnp.stack(rows, axis=-2)           # (..., G, A, S)
+        dP = jnp.stack(
+            [jnp.stack(
+                [jnp.sum(m[..., :, a, :] * du[..., :, b, :], axis=-1)
+                 for b in range(A)], axis=-1)
+             for a in range(A)], axis=-2)       # (..., G, A, A)
+        return dm, dP
     G, A = P.shape[-3], P.shape[-1]
     lead = m.shape[:-3]
     S = m.shape[-1]

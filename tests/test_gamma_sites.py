@@ -194,3 +194,38 @@ def test_blocked_merge_matches_dense():
                     jax.tree.leaves(outs[True][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_contract_blocked_bwd_variants():
+    """Both PHYLO_BLOCKED_BWD variants of the blocked-contraction VJP
+    (unrolled multiply-add reverse, dense-assembled reverse) match
+    jax.grad of an explicitly dense block-diagonal contraction."""
+    from phylo_tpu.pruning import felsenstein as fz
+
+    rng = np.random.default_rng(3)
+    G, A, S, K = 3, 4, 17, 5
+    m = jnp.asarray(rng.random((K, G, A, S)))
+    P = jnp.asarray(rng.random((K, G, A, A)))
+
+    def dense(m, P):
+        out = jnp.einsum("kgas,kgab->kgbs", m, P)
+        return jnp.sum(jnp.sin(out))
+
+    want = jax.grad(dense, argnums=(0, 1))(m, P)
+
+    old = fz._BLOCKED_BWD
+    try:
+        for variant in ("unrolled", "dense"):
+            fz._BLOCKED_BWD = variant
+
+            def blocked(m, P):
+                return jnp.sum(jnp.sin(fz._contract_blocked(m, P)))
+
+            got = jax.grad(blocked, argnums=(0, 1))(m, P)
+            for w, g in zip(want, got):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(w), rtol=1e-9, atol=1e-12,
+                    err_msg=variant,
+                )
+    finally:
+        fz._BLOCKED_BWD = old
