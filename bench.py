@@ -268,6 +268,32 @@ def measure_details():
                     "step_seconds",
                     out["ds1_2048_step"]["train_step_ms"] / 1000)
 
+    # 5b. GammaSites G=4 (a capability the reference lacks): blocked
+    #     product-space train step through the blocked fused rank
+    #     kernels + manual VJP (round-3 defaults)
+    from phylo_tpu.models.substitution import GammaSites
+
+    ds_g = load_dataset("primate")
+    gmodel = GammaSites(ReferenceQ(A=ds_g.A), G=4)
+    gparams = {
+        "model": gmodel.init_params(jnp.float32),
+        "branches": init_branch_params(ds_g.N, dtype=jnp.float32),
+    }
+    gleaves = jnp.asarray(gmodel.expand_leaves(ds_g.genome), jnp.float32)
+    gcfg = SweepConfig(K=512)
+
+    def gloss(p, key):
+        return -sample_phylogenies(key, gleaves, gmodel, p, gcfg).elbo
+
+    gfn = jax.jit(jax.value_and_grad(gloss))
+    t, (v, _) = timed(gfn, gparams, jax.random.PRNGKey(0), iters=10)
+    out["gamma_primate_step"] = {
+        "config": "primate_data GammaSites G=4 K=512 full-S fwd+grad "
+                  "(blocked fused rank kernels + manual VJP)",
+        "train_step_ms": round(t * 1000, 3),
+        "elbo": -float(v),
+    }
+
     # 6. VNCSMC epoch on primate at the reference's ACTIVE sweep config
     #    (autorun.sh:3-12: nested=true, K=32, M=10, batch 256), compared
     #    to the reference-equivalent torch CPU nested recursion

@@ -87,7 +87,13 @@ import os as _os
 
 import jax
 
-_BLOCKED_BWD = _os.environ.get("PHYLO_BLOCKED_BWD", "unrolled")
+# measured on v5e (GammaSites G=4 K=512 primate, blocked XLA-AD
+# fwd+bwd): dense 72.2 ms vs unrolled 87.7 -- the unrolled reverse's
+# G x fewer flops lose to its A^2 re-reads of the operands, so the
+# dense-assembled VJP is the default.  Under the manual whole-sweep
+# VJP (the at-scale auto path) neither runs: the blocked fused rank
+# kernel computes the merge backward in-kernel (45.7 ms total).
+_BLOCKED_BWD = _os.environ.get("PHYLO_BLOCKED_BWD", "dense")
 
 
 @jax.custom_vjp
@@ -120,16 +126,14 @@ def _contract_blocked_fwd(m, P):
 
 def _contract_blocked_bwd(res, du):
     # Variant knob (PHYLO_BLOCKED_BWD, A/B'd by tools/perf_probe.py
-    # gamma):
-    #   unrolled (default) -- the forward's own pattern run in reverse:
-    #     dm as A^2 Python-unrolled multiply-adds against P^T, dP as
-    #     A^2 fused multiply-reduce site sums.  G x fewer flops than
-    #     the dense form and no (G A)^2 assembly.
-    #   dense -- backward through the DENSE assembled form: measured
-    #     47 ms fwd+bwd at GammaSites G=4 K=512 vs 36 ms for the plain
-    #     dense-merge path (tiny badly-shaped matmuls); kept as the
-    #     A/B baseline.  The off-diagonal blocks of dP_dense are
-    #     simply discarded (they never influence the output).
+    # gamma; v5e measurements in the module-level comment):
+    #   dense (default) -- backward through the DENSE assembled form;
+    #     the off-diagonal blocks of dP_dense are simply discarded
+    #     (they never influence the output).
+    #   unrolled -- the forward's own pattern run in reverse: dm as
+    #     A^2 Python-unrolled multiply-adds against P^T, dP as A^2
+    #     fused multiply-reduce site sums.  G x fewer flops but loses
+    #     on v5e to the extra operand re-reads; kept for A/B.
     m, P = res
     if _BLOCKED_BWD == "unrolled":
         A = P.shape[-1]

@@ -1119,13 +1119,16 @@ TKF = int(_os.environ.get("PHYLO_FUSED_RANK_TK", "32"))
 FUSED_RANK = _os.environ.get("PHYLO_FUSED_RANK", "1") == "1"
 
 
-def _rank_tile(Sp):
+def _rank_tile(Sp, planes=4):
     """Particles per program for the fused rank kernels, shrunk for
-    long sequences so the (tk, A, Sp)-sized VMEM blocks (2 scratch + 2
-    cotangent outputs + live intermediates in the backward) stay under
-    the 16 MB scoped-vmem limit (DS1 Sp=2048 OOMed at tk=32)."""
+    long sequences so the (tk, planes, Sp)-sized VMEM blocks (2 scratch
+    + 2 cotangent outputs + live intermediates in the backward) stay
+    under the 16 MB scoped-vmem limit (DS1 Sp=2048 OOMed at tk=32).
+    `planes` is the state dimension of the message blocks (G*A for
+    block-structured models); the budget is bytes-equivalent to the
+    original A=4 tuning point tk*Sp <= 32*1024."""
     tk = TKF
-    while tk > 8 and tk * Sp > 32 * 1024:
+    while tk > 8 and tk * planes * Sp > 4 * 32 * 1024:
         tk //= 2
     return tk
 
@@ -1168,7 +1171,11 @@ def _dma_gather_children(idx_ref, leaves_hbm, buf_hbm, m1_s, m2_s,
 
 def _kernel_rank(idx_ref, outc_ref, leaves_hbm, buf_hbm, pl_ref, pr_ref,
                  pi_ref, w_ref, bufo_ref, rootll_ref, logscale_ref,
-                 m1_s, m2_s, sems, *, A, N, tk):
+                 m1_s, m2_s, sems, *, A, N, tk, G=1):
+    """Block-structured transitions (GammaSites, G > 1) share this body:
+    messages carry G*A planes, P slabs are (tk, G*A*A) laid out (g, a,
+    b), and the contraction only mixes states WITHIN a block (rate
+    categories never mix along a branch).  G=1 is the dense case."""
     from jax.experimental import pallas as pl
 
     ik = pl.program_id(0)
@@ -1177,27 +1184,30 @@ def _kernel_rank(idx_ref, outc_ref, leaves_hbm, buf_hbm, pl_ref, pr_ref,
 
     weights = w_ref[:]                                  # (1, Sp)
     w_planes = []
-    for b in range(A):
-        u_b = None
-        v_b = None
-        for a in range(A):
-            pl_ab = pl_ref[:, a * A + b][:, None]       # (TKF, 1)
-            pr_ab = pr_ref[:, a * A + b][:, None]
-            tu = m1_s[:, a, :] * pl_ab
-            tv = m2_s[:, a, :] * pr_ab
-            u_b = tu if u_b is None else u_b + tu
-            v_b = tv if v_b is None else v_b + tv
-        w_planes.append(u_b * v_b)
+    for g in range(G):
+        for b in range(A):
+            u_b = None
+            v_b = None
+            for a in range(A):
+                c = (g * A + a) * A + b
+                pl_ab = pl_ref[:, c][:, None]           # (TKF, 1)
+                pr_ab = pr_ref[:, c][:, None]
+                tu = m1_s[:, g * A + a, :] * pl_ab
+                tv = m2_s[:, g * A + a, :] * pr_ab
+                u_b = tu if u_b is None else u_b + tu
+                v_b = tv if v_b is None else v_b + tv
+            w_planes.append(u_b * v_b)
 
+    GA = G * A
     scale = w_planes[0]
-    for b in range(1, A):
-        scale = jnp.maximum(scale, w_planes[b])
+    for p in range(1, GA):
+        scale = jnp.maximum(scale, w_planes[p])
     scale = jnp.maximum(scale, jnp.finfo(scale.dtype).tiny)
 
     site_lik = None
-    for b in range(A):
-        bufo_ref[:, 0, b, :] = w_planes[b] / scale
-        term = w_planes[b] * pi_ref[0, b]
+    for p in range(GA):
+        bufo_ref[:, 0, p, :] = w_planes[p] / scale
+        term = w_planes[p] * pi_ref[0, p]
         site_lik = term if site_lik is None else site_lik + term
 
     rootll_ref[:] = jnp.sum(
@@ -1208,10 +1218,27 @@ def _kernel_rank(idx_ref, outc_ref, leaves_hbm, buf_hbm, pl_ref, pr_ref,
     )
 
 
+def blockdiag_dense(P):
+    """(..., G, A, A) block transitions -> dense (..., G*A, G*A) block-
+    diagonal matrices.  Zero off-block entries make the dense merge
+    contraction EXACTLY equal to the blocked one in f32 (x + 0*m == x
+    for finite messages), so the dense reference impls double as parity
+    oracles for the blocked kernels."""
+    G, A = P.shape[-3], P.shape[-1]
+    out = jnp.zeros(P.shape[:-3] + (G * A, G * A), P.dtype)
+    for g in range(G):
+        out = out.at[..., g * A:(g + 1) * A, g * A:(g + 1) * A].set(
+            P[..., g, :, :]
+        )
+    return out
+
+
 def _fused_rank_ref(leaves, buf, idx, outc, P_l, P_r, pi, weights):
     """jnp reference of the fused rank update (CPU fallback + parity
     oracle for interpret-mode CI).  Same child resolution as
     _node_lookup's non-unified branch."""
+    if P_l.ndim == 4:                  # blocked (K, G, A, A)
+        P_l, P_r = blockdiag_dense(P_l), blockdiag_dense(P_r)
     N = leaves.shape[0]
     R = buf.shape[1]
     ms = []
@@ -1264,9 +1291,11 @@ def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights):
         return _fused_rank_ref(leaves, buf, idx, outc, P_l, P_r, pi,
                                weights)
 
-    K, R, A, Sp = buf.shape
+    K, R, GA, Sp = buf.shape
     N = leaves.shape[0]
-    tk = _rank_tile(Sp)
+    G = P_l.shape[1] if P_l.ndim == 4 else 1   # blocked: (K, G, A, A)
+    A = GA // G
+    tk = _rank_tile(Sp, GA)
     grid = (K // tk,)
     dtype = buf.dtype
 
@@ -1276,18 +1305,18 @@ def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((tk, A * A), lambda ik, idx, outc: (ik, 0),
+            pl.BlockSpec((tk, G * A * A), lambda ik, idx, outc: (ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, A * A), lambda ik, idx, outc: (ik, 0),
+            pl.BlockSpec((tk, G * A * A), lambda ik, idx, outc: (ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A), lambda ik, idx, outc: (0, 0),
+            pl.BlockSpec((1, GA), lambda ik, idx, outc: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Sp), lambda ik, idx, outc: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
-                (tk, 1, A, Sp),
+                (tk, 1, GA, Sp),
                 lambda ik, idx, outc: (ik, outc[0], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -1297,13 +1326,13 @@ def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tk, A, Sp), dtype),
-            pltpu.VMEM((tk, A, Sp), dtype),
+            pltpu.VMEM((tk, GA, Sp), dtype),
+            pltpu.VMEM((tk, GA, Sp), dtype),
             pltpu.SemaphoreType.DMA((2, tk)),
         ],
     )
     buf_out, rootll, logscale = pl.pallas_call(
-        functools.partial(_kernel_rank, A=A, N=N, tk=tk),
+        functools.partial(_kernel_rank, A=A, N=N, tk=tk, G=G),
         grid_spec=grid_spec,
         interpret=INTERPRET,
         out_shape=[
@@ -1312,18 +1341,19 @@ def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights):
             jax.ShapeDtypeStruct((K, 1), dtype),
         ],
         input_output_aliases={3: 0},   # buf (after 2 scalar args + leaves)
-    )(idx, outc, leaves, buf, P_l.reshape(K, A * A),
-      P_r.reshape(K, A * A), pi[None], weights[None])
+    )(idx, outc, leaves, buf, P_l.reshape(K, G * A * A),
+      P_r.reshape(K, G * A * A), pi[None], weights[None])
     return buf_out, rootll[:, 0], logscale[:, 0]
 
 
 def _kernel_rank_bwd(idx_ref, leaves_hbm, buf_hbm, pl_ref, pr_ref,
                      pi_ref, w_ref, gm_ref, gr_ref, gl_ref,
                      dm1_ref, dm2_ref, dpl_ref, dpr_ref, dpi_ref,
-                     dw_ref, m1_s, m2_s, sems, *, A, N, tk):
+                     dw_ref, m1_s, m2_s, sems, *, A, N, tk, G=1):
     """Fused reverse of one rank: DMA child re-gather + merge backward
     (same cotangent math as _kernel_merge_bwd, incl. reduce_max's
-    split-among-ties routing and the maximum(raw, tiny) half-split)."""
+    split-among-ties routing and the maximum(raw, tiny) half-split).
+    G > 1: block-structured transitions (see _kernel_rank)."""
     from jax.experimental import pallas as pl
 
     ik = pl.program_id(0)
@@ -1332,31 +1362,35 @@ def _kernel_rank_bwd(idx_ref, leaves_hbm, buf_hbm, pl_ref, pr_ref,
 
     w = w_ref[:]                                        # (1, Sp)
     dtype = w.dtype
+    GA = G * A
 
-    pl_c = [pl_ref[:, c][:, None] for c in range(A * A)]
-    pr_c = [pr_ref[:, c][:, None] for c in range(A * A)]
+    pl_c = [pl_ref[:, c][:, None] for c in range(G * A * A)]
+    pr_c = [pr_ref[:, c][:, None] for c in range(G * A * A)]
 
     u = []
     v = []
     wp = []
     site = None
-    for b in range(A):
-        u_b = None
-        v_b = None
-        for a in range(A):
-            tu = m1_s[:, a, :] * pl_c[a * A + b]
-            tv = m2_s[:, a, :] * pr_c[a * A + b]
-            u_b = tu if u_b is None else u_b + tu
-            v_b = tv if v_b is None else v_b + tv
-        u.append(u_b)
-        v.append(v_b)
-        wp.append(u_b * v_b)
-        term = wp[b] * pi_ref[0, b]
-        site = term if site is None else site + term
+    for g in range(G):
+        for b in range(A):
+            u_b = None
+            v_b = None
+            for a in range(A):
+                c = (g * A + a) * A + b
+                tu = m1_s[:, g * A + a, :] * pl_c[c]
+                tv = m2_s[:, g * A + a, :] * pr_c[c]
+                u_b = tu if u_b is None else u_b + tu
+                v_b = tv if v_b is None else v_b + tv
+            p = g * A + b
+            u.append(u_b)
+            v.append(v_b)
+            wp.append(u_b * v_b)
+            term = wp[p] * pi_ref[0, p]
+            site = term if site is None else site + term
 
     raw = wp[0]
-    for b in range(1, A):
-        raw = jnp.maximum(raw, wp[b])
+    for p in range(1, GA):
+        raw = jnp.maximum(raw, wp[p])
     tiny = jnp.finfo(dtype).tiny
     scale = jnp.maximum(raw, tiny)
 
@@ -1365,45 +1399,49 @@ def _kernel_rank_bwd(idx_ref, leaves_hbm, buf_hbm, pl_ref, pr_ref,
     dsite = (gr * w) / site                             # (TKF, Sp)
     dscale = (gl * w) / scale
     inv_scale = 1.0 / scale
-    for b in range(A):
-        dscale = dscale - gm_ref[:, b, :] * (
-            wp[b] * inv_scale * inv_scale
+    for p in range(GA):
+        dscale = dscale - gm_ref[:, p, :] * (
+            wp[p] * inv_scale * inv_scale
         )
     draw = dscale * (
         (raw > tiny).astype(dtype) + 0.5 * (raw == tiny).astype(dtype)
     )
     neq = None
     eqs = []
-    for b in range(A):
-        eq = (wp[b] == raw).astype(dtype)
+    for p in range(GA):
+        eq = (wp[p] == raw).astype(dtype)
         eqs.append(eq)
         neq = eq if neq is None else neq + eq
 
-    dm1 = [None] * A
-    dm2 = [None] * A
-    cols_l = [None] * (A * A)
-    cols_r = [None] * (A * A)
+    dm1 = [None] * GA
+    dm2 = [None] * GA
+    cols_l = [None] * (G * A * A)
+    cols_r = [None] * (G * A * A)
     dpi = []
-    for b in range(A):
-        dwp_b = (
-            gm_ref[:, b, :] * inv_scale
-            + dsite * pi_ref[0, b]
-            + draw * (eqs[b] / neq)
-        )
-        du_b = dwp_b * v[b]
-        dv_b = dwp_b * u[b]
-        for a in range(A):
-            t1 = du_b * pl_c[a * A + b]
-            t2 = dv_b * pr_c[a * A + b]
-            dm1[a] = t1 if dm1[a] is None else dm1[a] + t1
-            dm2[a] = t2 if dm2[a] is None else dm2[a] + t2
-            cols_l[a * A + b] = jnp.sum(du_b * m1_s[:, a, :], axis=-1)
-            cols_r[a * A + b] = jnp.sum(dv_b * m2_s[:, a, :], axis=-1)
-        dpi.append(jnp.sum(dsite * wp[b]))
-    for a in range(A):
-        dm1_ref[:, a, :] = dm1[a]
-        dm2_ref[:, a, :] = dm2[a]
-    dpl_ref[:] = jnp.stack(cols_l, axis=-1)             # (TKF, A*A)
+    for g in range(G):
+        for b in range(A):
+            p = g * A + b
+            dwp_b = (
+                gm_ref[:, p, :] * inv_scale
+                + dsite * pi_ref[0, p]
+                + draw * (eqs[p] / neq)
+            )
+            du_b = dwp_b * v[p]
+            dv_b = dwp_b * u[p]
+            for a in range(A):
+                c = (g * A + a) * A + b
+                t1 = du_b * pl_c[c]
+                t2 = dv_b * pr_c[c]
+                pa = g * A + a
+                dm1[pa] = t1 if dm1[pa] is None else dm1[pa] + t1
+                dm2[pa] = t2 if dm2[pa] is None else dm2[pa] + t2
+                cols_l[c] = jnp.sum(du_b * m1_s[:, pa, :], axis=-1)
+                cols_r[c] = jnp.sum(dv_b * m2_s[:, pa, :], axis=-1)
+            dpi.append(jnp.sum(dsite * wp[p]))
+    for p in range(GA):
+        dm1_ref[:, p, :] = dm1[p]
+        dm2_ref[:, p, :] = dm2[p]
+    dpl_ref[:] = jnp.stack(cols_l, axis=-1)             # (TKF, G*A*A)
     dpr_ref[:] = jnp.stack(cols_r, axis=-1)
 
     # dpi / dw accumulate across the (sequential) particle grid into a
@@ -1431,6 +1469,9 @@ def _fused_rank_bwd_ref(leaves, buf, idx, gm, gr, gl, P_l, P_r, pi,
     R = buf.shape[1]
 
     def fwd(m1, m2, P_l, P_r, pi, weights):
+        if P_l.ndim == 4:              # blocked: assemble inside the
+            P_l = blockdiag_dense(P_l)   # vjp so cotangents come back
+            P_r = blockdiag_dense(P_r)   # in (K, G, A, A) layout
         return _ref_impl(m1, m2, P_l, P_r, pi, weights)
 
     ms = []
@@ -1465,9 +1506,11 @@ def fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l, P_r, pi, weights):
         return _fused_rank_bwd_ref(leaves, buf, idx, gm, gr, gl, P_l,
                                    P_r, pi, weights)
 
-    K, R, A, Sp = buf.shape
+    K, R, GA, Sp = buf.shape
     N = leaves.shape[0]
-    tk = _rank_tile(Sp)
+    G = P_l.shape[1] if P_l.ndim == 4 else 1   # blocked: (K, G, A, A)
+    A = GA // G
+    tk = _rank_tile(Sp, GA)
     nprog = K // tk
     dtype = buf.dtype
 
@@ -1477,15 +1520,15 @@ def fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l, P_r, pi, weights):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((tk, A * A), lambda ik, idx: (ik, 0),
+            pl.BlockSpec((tk, G * A * A), lambda ik, idx: (ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, A * A), lambda ik, idx: (ik, 0),
+            pl.BlockSpec((tk, G * A * A), lambda ik, idx: (ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A), lambda ik, idx: (0, 0),
+            pl.BlockSpec((1, GA), lambda ik, idx: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Sp), lambda ik, idx: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, A, Sp), lambda ik, idx: (ik, 0, 0),
+            pl.BlockSpec((tk, GA, Sp), lambda ik, idx: (ik, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, 1), lambda ik, idx: (ik, 0),
                          memory_space=pltpu.VMEM),
@@ -1493,38 +1536,40 @@ def fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l, P_r, pi, weights):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tk, A, Sp), lambda ik, idx: (ik, 0, 0),
+            pl.BlockSpec((tk, GA, Sp), lambda ik, idx: (ik, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, A, Sp), lambda ik, idx: (ik, 0, 0),
+            pl.BlockSpec((tk, GA, Sp), lambda ik, idx: (ik, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, A * A), lambda ik, idx: (ik, 0),
+            pl.BlockSpec((tk, G * A * A), lambda ik, idx: (ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, A * A), lambda ik, idx: (ik, 0),
+            pl.BlockSpec((tk, G * A * A), lambda ik, idx: (ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, A), lambda ik, idx: (0, 0),
+            pl.BlockSpec((8, GA), lambda ik, idx: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, Sp), lambda ik, idx: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tk, A, Sp), dtype),
-            pltpu.VMEM((tk, A, Sp), dtype),
+            pltpu.VMEM((tk, GA, Sp), dtype),
+            pltpu.VMEM((tk, GA, Sp), dtype),
             pltpu.SemaphoreType.DMA((2, tk)),
         ],
     )
     dm1, dm2, dpl, dpr, dpi, dw = pl.pallas_call(
-        functools.partial(_kernel_rank_bwd, A=A, N=N, tk=tk),
+        functools.partial(_kernel_rank_bwd, A=A, N=N, tk=tk, G=G),
         grid_spec=grid_spec,
         interpret=INTERPRET,
         out_shape=[
-            jax.ShapeDtypeStruct((K, A, Sp), dtype),
-            jax.ShapeDtypeStruct((K, A, Sp), dtype),
-            jax.ShapeDtypeStruct((K, A * A), dtype),
-            jax.ShapeDtypeStruct((K, A * A), dtype),
-            jax.ShapeDtypeStruct((8, A), dtype),
+            jax.ShapeDtypeStruct((K, GA, Sp), dtype),
+            jax.ShapeDtypeStruct((K, GA, Sp), dtype),
+            jax.ShapeDtypeStruct((K, G * A * A), dtype),
+            jax.ShapeDtypeStruct((K, G * A * A), dtype),
+            jax.ShapeDtypeStruct((8, GA), dtype),
             jax.ShapeDtypeStruct((8, Sp), dtype),
         ],
-    )(idx, leaves, buf, P_l.reshape(K, A * A), P_r.reshape(K, A * A),
-      pi[None], weights[None], gm, gr[:, None], gl[:, None])
-    return (dm1, dm2, dpl.reshape(K, A, A), dpr.reshape(K, A, A),
-            dpi[:1], dw[:1])
+    )(idx, leaves, buf, P_l.reshape(K, G * A * A),
+      P_r.reshape(K, G * A * A), pi[None], weights[None], gm,
+      gr[:, None], gl[:, None])
+    dpl = dpl.reshape((K,) + P_l.shape[1:])
+    dpr = dpr.reshape((K,) + P_r.shape[1:])
+    return dm1, dm2, dpl, dpr, dpi[:1], dw[:1]

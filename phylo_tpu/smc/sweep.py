@@ -153,10 +153,15 @@ class SweepConfig:
     # (leaf/weight chains are dead-code-eliminated when unused).
     manual_vjp: Any = "auto"
     # block-structured merge contraction for product-space models
-    # (GammaSites): G x fewer flops, wins VALUE-ONLY sweeps (~17%
-    # faster forward at G=4) but regresses fwd+bwd -- enable for
-    # inference/eval-heavy workloads
-    blocked_merge: bool = False
+    # (GammaSites): G x fewer flops than the dense (G A)^2 form.  Since
+    # round 3 the manual whole-sweep VJP accepts blocked configs and
+    # dispatches the BLOCKED fused rank kernels on TPU (G*A^2 unrolled
+    # terms), so blocked training gets the one-pallas_call rank update
+    # too.  Default ON (v5e, GammaSites G=4 K=512 primate fwd+bwd:
+    # blocked+manual 45.7 ms vs dense 65.6-67.8; the one arm blocked
+    # loses, forced XLA AD at mid scale, is 72.2 vs 65.6).  No-op for
+    # models without `transition_blocks`.
+    blocked_merge: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -414,8 +419,7 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     # the unified buffer, so it needs the replicated-leaf layout
     twist_ok = config.twist is None or config.replicate_leaves
     if (manual and decisions is None and twist_ok
-            and config.rescale and not config.remat
-            and not config.blocked_merge):
+            and config.rescale and not config.remat):
         from phylo_tpu.smc.sweep_vjp import sweep_manual_vjp
 
         return sweep_manual_vjp(key, leaves, model, params, config,
@@ -481,6 +485,17 @@ def _sample_body(key, leaves, model, params, config, *,
         and A <= 8
         and blocks is None
     )
+    # the fused RANK kernels also come in a block-structured form
+    # (G*A^2 unrolled terms, within the Mosaic budget when <= 64): the
+    # blocked GammaSites merge gets the one-pallas_call rank update on
+    # the manual-VJP path even though the plain merge kernel (dense
+    # A'^2 unroll) stays off
+    blocked_kernel_ok = (
+        config.use_pallas and config.rescale
+        and jax.default_backend() == "tpu"
+        and blocks is not None
+        and blocks[0] * blocks[1] ** 2 <= 64
+    )
     if fused_rank:
         # fused gather->merge->scatter rank kernel (kernels._kernel_rank):
         # only on the manual-VJP / eval paths (no AD rule), unsharded,
@@ -488,12 +503,13 @@ def _sample_body(key, leaves, model, params, config, *,
         from phylo_tpu.pruning.kernels import FUSED_RANK, TKF
 
         fused_rank = (
-            FUSED_RANK and use_pallas and config.replicate_leaves
+            FUSED_RANK and (use_pallas or blocked_kernel_ok)
+            and config.replicate_leaves
             and config.twist is None and shardings is None
             and decisions is None and injected is None
             and K % TKF == 0
         )
-    if use_pallas:
+    if use_pallas or fused_rank:
         # pre-pad the site axis to the kernel tile so the per-rank pad
         # op disappears; padding columns are all-ones with weight 0
         from phylo_tpu.pruning.kernels import TS

@@ -129,9 +129,16 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
                 eps_l, eps_r = aux["eps_l"], aux["eps_r"]
             dtype = eps_l.dtype
             rates_l, rates_r = branch_rates(params["branches"])
+            # mirror _sample_body's `blocks` condition: blocked models
+            # linearize at per-block transitions (R, 2K, G, A, A)
+            blocked = (
+                config.blocked_merge and not tw
+                and getattr(model, "blocks", None) is not None
+            )
             _, _, P_all = _presample_transitions(
                 model, params["model"], rates_l.astype(dtype),
                 rates_r.astype(dtype), eps_l, eps_r, dtype,
+                blocked=blocked,
             )
             pi = model.stationary(params["model"]).astype(dtype)
             return P_all, pi
@@ -207,11 +214,18 @@ MERGE_BWD_KERNEL_IN_MANUAL = (
 def _merge_bwd(residuals, cotangents):
     from phylo_tpu.pruning import kernels
 
-    if MERGE_BWD_KERNEL_IN_MANUAL and (
+    if MERGE_BWD_KERNEL_IN_MANUAL and residuals[2].ndim == 3 and (
         jax.default_backend() == "tpu" or kernels.INTERPRET
     ):
         return kernels._merge_bwd_pallas(*residuals, *cotangents)
-    _, vjp = jax.vjp(kernels._ref_impl, *residuals)
+
+    def fwd(m1, m2, P_l, P_r, pi, w):
+        if P_l.ndim == 4:              # blocked (K, G, A, A): the
+            P_l = kernels.blockdiag_dense(P_l)   # dense-with-zeros form
+            P_r = kernels.blockdiag_dense(P_r)   # is bit-exact in f32
+        return kernels._ref_impl(m1, m2, P_l, P_r, pi, w)
+
+    _, vjp = jax.vjp(fwd, *residuals)
     return vjp(cotangents)
 
 

@@ -339,3 +339,82 @@ def _run_merge_vjp_dispatch(jax, jnp, rng):
     for a, b in zip(g_k, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9)
+
+
+# ---------------------------------------------------------------------
+# Blocked (GammaSites) variants of the fused rank kernels: G rate
+# categories, block-diagonal transitions in (K, G, A, A) form.  The
+# parity oracle is the dense-assembled block-diagonal path
+# (kernels.blockdiag_dense), bit-exact in f32.
+# ---------------------------------------------------------------------
+
+
+def _rank_inputs_blocked(rng, K, R, N, G, A, S):
+    import jax.numpy as jnp
+
+    GA = G * A
+    buf = jnp.asarray(rng.uniform(0.05, 1.0, (K, R, GA, S)))
+    leaves = jnp.asarray(rng.uniform(0.05, 1.0, (N, GA, S)))
+    nodes = rng.integers(0, N + R, (2, K))
+    rows = rng.integers(0, K, (2, K))
+    idx = jnp.asarray(
+        np.stack([rows[0], nodes[0], rows[1], nodes[1]]), jnp.int32
+    )
+    P_l = jnp.asarray(rng.uniform(0.05, 1.0, (K, G, A, A)))
+    P_r = jnp.asarray(rng.uniform(0.05, 1.0, (K, G, A, A)))
+    pi = rng.uniform(0.1, 1.0, (GA,))
+    pi = jnp.asarray(pi / pi.sum())
+    w = jnp.asarray(rng.uniform(0.5, 2.0, (S,)))
+    return buf, leaves, idx, P_l, P_r, pi, w
+
+
+@pytest.mark.parametrize("K,R,N,G,A,S", [(8, 5, 6, 4, 4, 128),
+                                         (8, 3, 4, 2, 4, 256)])
+def test_fused_rank_update_blocked_matches_dense(interpret_mode, rng, K,
+                                                 R, N, G, A, S,
+                                                 monkeypatch):
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(kernels, "TKF", 4)
+    buf, leaves, idx, P_l, P_r, pi, w = _rank_inputs_blocked(
+        rng, K, R, N, G, A, S
+    )
+    outc = jnp.asarray([R - 1], jnp.int32)
+
+    got = kernels.fused_rank_update(leaves, buf, idx, outc, P_l, P_r,
+                                    pi, w)
+    want = kernels.fused_rank_update(
+        leaves, buf, idx, outc, kernels.blockdiag_dense(P_l),
+        kernels.blockdiag_dense(P_r), pi, w,
+    )
+    for n, a, b in zip(["buf", "rootll", "logscale"], got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-14, err_msg=n)
+
+
+@pytest.mark.parametrize("K,R,N,G,A,S", [(8, 5, 6, 4, 4, 128)])
+def test_fused_rank_bwd_blocked_matches_jnp_vjp(interpret_mode, rng, K,
+                                                R, N, G, A, S,
+                                                monkeypatch):
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(kernels, "TKF", 4)
+    buf, leaves, idx, P_l, P_r, pi, w = _rank_inputs_blocked(
+        rng, K, R, N, G, A, S
+    )
+    GA = G * A
+    gm = jnp.asarray(rng.normal(0, 1.0, (K, GA, S)))
+    gr = jnp.asarray(rng.normal(0, 1.0, (K,)))
+    gl = jnp.asarray(rng.normal(0, 1.0, (K,)))
+
+    got = kernels.fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l,
+                                 P_r, pi, w)
+    want = kernels._fused_rank_bwd_ref(leaves, buf, idx, gm, gr, gl,
+                                       P_l, P_r, pi, w)
+    for n, a, b in zip(["dm1", "dm2", "dPl", "dPr", "dpi", "dw"], got,
+                       want):
+        assert np.asarray(a).shape == np.asarray(b).shape, n
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12,
+            err_msg=n,
+        )
