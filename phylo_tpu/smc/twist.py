@@ -94,19 +94,26 @@ class TwistConfig:
             C_mem = max(
                 1, int((self.chunk_budget_mb * 2**20) // per_pair)
             )
+            # one chunk whenever the WHOLE enumeration fits in ~3x the
+            # budget: below that the per-chunk dispatch overhead
+            # dominates (xprof at primate K=32 M=10 batch-256: ~31
+            # sequential chunk bodies/step, each paying ~1.5 ms in
+            # small reduces + kernel launches = 80 ms for ~5 ms of
+            # compute), and prefix-skipping only saves COMPUTE, which
+            # is free there.  Chunk-count tuning matters only in the
+            # compute-bound regime (betacorona, 580 MB enumeration);
+            # at 86 MB (primate full-S) chunked+skipping already wins
+            # the backward (90.6 vs 98.1 ms), hence the 2x threshold.
+            if P * per_pair <= 2 * self.chunk_budget_mb * 2**20:
+                return P
             if P < 24:
-                # tiny pair tables: chunking overhead dominates any
-                # prefix-skipping gain -- one chunk when memory allows
-                if P * per_pair <= 3 * self.chunk_budget_mb * 2**20:
-                    return P
                 C = C_mem
             else:
                 # aim for ~8 chunks even when memory would allow one:
                 # prefix-order chunk skipping (twisted_extend) then
                 # executes only ceil(C(n_active,2)/C) chunks per rank,
                 # ~2.4x fewer chunk bodies across a sweep (measured
-                # round 3; the old fits-in-3x-budget single-chunk rule
-                # predates skipping)
+                # round 3 at betacorona scale)
                 C = min(C_mem, max(1, -(-P // 8)))
             # prefer a divisor of P just above the budget target: an
             # evenly-split pair axis avoids a padded tail chunk
