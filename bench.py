@@ -72,7 +72,7 @@ def measure_tpu(genome, K, batch, epochs, sweep_kwargs=None):
         "branches": init_branch_params(N, dtype=dtype),
     }
     leaves = jax.device_put(jnp.asarray(genome, dtype=dtype))
-    config = SweepConfig(K=K, **(sweep_kwargs or {}))
+    config = SweepConfig(K=K, data_grads=False, **(sweep_kwargs or {}))
     tx = optax.sgd(0.001)
     opt_state = tx.init(params)
 
@@ -240,7 +240,8 @@ def measure_details():
             "branches": init_branch_params(ds.N, dtype=jnp.float32),
         }
         leaves = jnp.asarray(ds.genome, dtype=jnp.float32)
-        cfg = SweepConfig(K=K, **(sweep_kwargs or {}))
+        cfg = SweepConfig(K=K, data_grads=False,
+                          **(sweep_kwargs or {}))
 
         def loss(p, key):
             return -sample_phylogenies(key, leaves, model, p, cfg).elbo

@@ -152,6 +152,18 @@ class SweepConfig:
     # Cotangents are produced for params, leaves AND site_weights
     # (leaf/weight chains are dead-code-eliminated when unused).
     manual_vjp: Any = "auto"
+    # data_grads=False declares that the caller never differentiates
+    # w.r.t. `leaves` or `site_weights` (their cotangents come back as
+    # zeros).  The manual TWIST reverse pass accumulates dleaves/dw in
+    # a lax.scan carry, which XLA cannot dead-code-eliminate even when
+    # the caller only grads params -- each rank pays a full
+    # log-site-likelihood re-enumeration (pruning.kernels._dw_ref) plus
+    # two scatter-adds for nothing.  The trainer/bench hot paths (param
+    # gradients only) set False; the default True keeps
+    # jax.grad-w.r.t.-data correct for library users (the non-twist
+    # manual path needs no flag: its accumulations are straight-line
+    # jnp that XLA DCEs when unused).
+    data_grads: bool = True
     # block-structured merge contraction for product-space models
     # (GammaSites): G x fewer flops than the dense (G A)^2 form.  Since
     # round 3 the manual whole-sweep VJP accepts blocked configs and
@@ -543,6 +555,19 @@ def _sample_body(key, leaves, model, params, config, *,
         leaves, stationary, site_weights=site_weights
     )                                                          # (N,)
 
+    # Unrolled-rank mode for twisted sweeps (TwistConfig.unroll_max_ranks):
+    # a Python loop over ranks with statically TRUNCATED pair tables --
+    # rank r enumerates exactly C(N-r, 2) prefix-ordered pairs instead
+    # of masking all C(N, 2) inside a lax.scan body (~2.5x enumeration
+    # compute, forward and backward) or paying per-chunk dispatch
+    # latency for whole-chunk skipping.  Golden-parity injection
+    # (decisions) and GSPMD (shardings) keep the scanned path.
+    twist_unrolled = (
+        config.twist is not None and decisions is None
+        and shardings is None
+        and config.twist.unrolled(N, config.twist.M, K, S,
+                                  jnp.dtype(dtype).itemsize)
+    )
     if config.twist is not None:
         from phylo_tpu.smc.twist import twisted_extend  # lazy import
 
@@ -597,7 +622,7 @@ def _sample_body(key, leaves, model, params, config, *,
     def step(state, xs):
         r, dec = xs
         n_active = N - r                       # active roots this rank
-        rf = r.astype(dtype)
+        rf = jnp.asarray(r, dtype)   # r may be a Python int (unrolled)
 
         key, k_res, k_pair, k_bl, k_br, k_tw = jax.random.split(
             state["key"], 6
@@ -722,7 +747,7 @@ def _sample_body(key, leaves, model, params, config, *,
         )
         lsc1, lsc2 = lscs[:, 0], lscs[:, 1]
 
-        zero = jnp.zeros((), dtype=r.dtype)
+        zero = jnp.zeros((), dtype=jnp.int32)  # r may be a Python int
         if injected is not None:
             # ---- 4'. Injected merge scalars (scalar replay) -----------
             # the unscaled root log-lik and per-merge log-scale computed
@@ -787,16 +812,20 @@ def _sample_body(key, leaves, model, params, config, *,
                 ll_new = rootll_raw + lsc1 + lsc2
 
             # ---- 5. Write-once buffers ---------------------------------
-            msg_col = r + N if config.replicate_leaves else r
+            msg_col = jnp.asarray(
+                r + N if config.replicate_leaves else r, jnp.int32
+            )
             internal_msgs = lax.dynamic_update_slice(
                 state["internal_msgs"], merged[:, None],
                 (zero, msg_col, zero, zero)
             )
+        r32 = jnp.asarray(r, jnp.int32)
         internal_logscale = lax.dynamic_update_slice(
-            state["internal_logscale"], node_lsc[:, None], (zero, r)
+            state["internal_logscale"], node_lsc[:, None], (zero, r32)
         )
         row_of_node = lax.dynamic_update_slice(
-            row_of_node, jnp.arange(K, dtype=jnp.int32)[:, None], (zero, r)
+            row_of_node, jnp.arange(K, dtype=jnp.int32)[:, None],
+            (zero, r32)
         )
 
         # ---- 6. Compact positions ---------------------------------------
@@ -808,9 +837,7 @@ def _sample_body(key, leaves, model, params, config, *,
             axis=1, stable=True,
         ).astype(jnp.int32)
         merge_pos = n_active - 2
-        new_node_id = (N + r).astype(jnp.int32) * jnp.ones(
-            (K,), dtype=jnp.int32
-        )
+        new_node_id = jnp.full((K,), N + r, dtype=jnp.int32)
         slot = _compact_positions(slot, perm, merge_pos, new_node_id)
         leaf_counts = _compact_positions(leaf_counts, perm, merge_pos,
                                          c1 + c2)
@@ -842,10 +869,10 @@ def _sample_body(key, leaves, model, params, config, *,
         )
 
         branch_hist_l = lax.dynamic_update_slice(
-            state["branch_hist_l"], b_l[None], (r, zero)
+            state["branch_hist_l"], b_l[None], (r32, zero)
         )
         branch_hist_r = lax.dynamic_update_slice(
-            state["branch_hist_r"], b_r[None], (r, zero)
+            state["branch_hist_r"], b_r[None], (r32, zero)
         )
 
         new_state = dict(
@@ -946,6 +973,7 @@ def _sample_body(key, leaves, model, params, config, *,
             precompute_twist_xs(
                 key, config, model, params, rates_l, rates_r, N, dtype,
                 decisions, skip_expm=injected is not None,
+                prefix_ordered=twist_unrolled,
             )
         )
         if injected is not None:
@@ -959,10 +987,32 @@ def _sample_body(key, leaves, model, params, config, *,
                 inj_twist_llm=injected["twist_llm"],
                 inj_twist_choice=injected["twist_choice"],
             )
-    xs = (ranks, xs_dec)
-    step_fn = jax.checkpoint(step) if config.remat else step
-    unroll = config.unroll if config.unroll > 0 else n_ranks
-    final, outs = lax.scan(step_fn, init, xs, unroll=unroll)
+    if twist_unrolled:
+        # Python-unrolled rank loop: each rank sees a static n_active so
+        # the twist enumeration truncates (see twist._twisted_extend_
+        # static).  config.remat is ignored here -- jax.checkpoint would
+        # re-trace `r` as an array and defeat the static truncation;
+        # enumeration memory is bounded by TwistConfig.remat instead.
+        # xs entries are (R, ...) stacked arrays EXCEPT inj_twist_llm,
+        # a per-rank tuple of truncated (C(N-r,2), M, K) arrays -- for
+        # both, v[rr] picks rank rr's slice/element.
+        state = init
+        outs_list = []
+        for rr in range(n_ranks):
+            dec_r = {k: v[rr] for k, v in xs_dec.items()}
+            state, out = step(state, (rr, dec_r))
+            outs_list.append(out)
+        final = state
+        outs = {
+            k: (tuple(o[k] for o in outs_list) if k == "twist_llm"
+                else jnp.stack([jnp.asarray(o[k]) for o in outs_list]))
+            for k in outs_list[0]
+        }
+    else:
+        xs = (ranks, xs_dec)
+        step_fn = jax.checkpoint(step) if config.remat else step
+        unroll = config.unroll if config.unroll > 0 else n_ranks
+        final, outs = lax.scan(step_fn, init, xs, unroll=unroll)
 
     log_weights = outs["log_w"]
     log_likelihood = outs["log_ll"]

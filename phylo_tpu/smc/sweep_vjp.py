@@ -182,11 +182,22 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
         # kernel tile (pad columns are constants -> their cotangents
         # are discarded by the slice)
         S = leaves.shape[1]
-        dleaves = dleaves_a + jnp.swapaxes(dleaves_sm[:, :, :S], -1, -2)
-        if site_weights is None:
-            dsw = None
+        if tw and not config.data_grads:
+            # SweepConfig.data_grads=False: the caller declared it never
+            # differentiates data, and the twist reverse pass skipped
+            # the dleaves/dw accumulation -- return exact zeros rather
+            # than a silently partial sum
+            dleaves = jnp.zeros_like(leaves)
+            dsw = (None if site_weights is None
+                   else jnp.zeros_like(site_weights))
         else:
-            dsw = dsw_a + dw_sm[:S].astype(site_weights.dtype)
+            dleaves = dleaves_a + jnp.swapaxes(
+                dleaves_sm[:, :, :S], -1, -2
+            )
+            if site_weights is None:
+                dsw = None
+            else:
+                dsw = dsw_a + dw_sm[:S].astype(site_weights.dtype)
 
         return (
             dparams,
@@ -229,6 +240,125 @@ def _merge_bwd(residuals, cotangents):
     return vjp(cotangents)
 
 
+def _twist_messages_bwd_unrolled(key, aux, model, params, config, pi,
+                                 g_llm, N, shardings):
+    """Unrolled-rank twin of `_twist_messages_bwd` (see
+    twist.TwistConfig.unroll_max_ranks): `g_llm` arrives as a per-rank
+    tuple of truncated (C(N-r, 2), M, K) cotangents in PREFIX pair
+    order, matching the forward's statically truncated enumeration --
+    each rank is one un-masked, un-chunked vjp against the final
+    write-once buffer, so the reverse pass does exactly
+    sum_r C(N-r, 2) pair evaluations (the scanned version must pad to
+    chunk granularity and lax.cond-skip)."""
+    from phylo_tpu.models.branches import branch_rates
+    from phylo_tpu.pruning.kernels import pair_loglik
+    from phylo_tpu.smc.sweep import _take_positions
+    from phylo_tpu.smc.twist import (
+        _pool_draws, _prefix_order, upper_tri_pairs,
+    )
+
+    twist = config.twist
+    buf = aux["buf"]                          # (K, N+R, A, Sp) unified
+    leaves_sm = aux["leaves_sm"]
+    w_vec = aux["site_weights"]               # (Sp,)
+    slot_t = aux["slot_t"]                    # (R, K, N)
+    rows_t = aux["rows_t"]                    # (R, K, R)
+    K = buf.shape[0]
+    A, Sp = leaves_sm.shape[1], leaves_sm.shape[2]
+    R = N - 1
+    M = twist.M
+    dtype = buf.dtype
+    data_grads = config.data_grads
+
+    pairs_np = upper_tri_pairs(N)
+    P = len(pairs_np)
+    order_np, _ = _prefix_order(N)
+    pairs_pref = pairs_np[order_np]
+
+    # the forward's exact unit-rate pool draws, regenerated and put in
+    # the same prefix order the forward consumed them in
+    draws_l, draws_r = _pool_draws(key, R, P, M, K, dtype)
+    draws_l = draws_l[:, jnp.asarray(order_np)]
+    draws_r = draws_r[:, jnp.asarray(order_np)]
+
+    rates_fn = lambda pb: jax.tree.map(           # noqa: E731
+        lambda x: x.astype(dtype), branch_rates(pb)
+    )
+    (rates_l, rates_r), vjp_rates = jax.vjp(rates_fn, params["branches"])
+
+    own = jnp.arange(K, dtype=jnp.int32)[:, None]
+    pending = jnp.zeros((K, R, A, Sp), dtype)
+    dleaves = jnp.zeros_like(leaves_sm) if data_grads else None
+    dw = jnp.zeros((Sp,), dtype) if data_grads else None
+    dpi_acc = jnp.zeros_like(pi)
+    dmodel = jax.tree.map(jnp.zeros_like, params["model"])
+    drl = jnp.zeros_like(rates_l)
+    drr = jnp.zeros_like(rates_r)
+
+    for r in range(R):
+        n_active = N - r
+        Pv = (n_active * (n_active - 1)) // 2
+        pc = jnp.asarray(pairs_pref[:Pv])              # (Pv, 2)
+        pos = jnp.broadcast_to(
+            pc.T.reshape(-1)[None], (K, 2 * Pv)
+        )                                              # [i..., j...]
+        nodes = _take_positions(slot_t[r], pos)        # (K, 2Pv)
+        is_leaf = nodes < N
+        q = jnp.clip(nodes - N, 0, R - 1)
+        rows = _take_positions(rows_t[r], q)
+        brow = jnp.where(is_leaf, own, rows)
+        msgs = buf[brow, nodes]                        # (K, 2Pv, A, Sp)
+        m_l = msgs[:, :Pv].reshape(K * Pv, A, Sp)
+        m_r = msgs[:, Pv:].reshape(K * Pv, A, Sp)
+
+        dl = draws_l[r, :Pv]                           # (Pv, M, K)
+        dr = draws_r[r, :Pv]
+        g_flat = jnp.transpose(
+            g_llm[r].astype(dtype), (1, 2, 0)
+        ).reshape(M, K * Pv)
+
+        def f(pm, rl, rr_, ml, mr, pi_, w_, dl=dl, dr=dr, Pv=Pv):
+            bl = dl / rl
+            br = dr / rr_
+            P_lr = model.transition(
+                pm, jnp.concatenate([bl, br])
+            ).astype(dtype)                            # (2Pv, M, K, A, A)
+            P_l = jnp.transpose(
+                P_lr[:Pv], (1, 2, 0, 3, 4)).reshape(M, K * Pv, A, A)
+            P_r = jnp.transpose(
+                P_lr[Pv:], (1, 2, 0, 3, 4)).reshape(M, K * Pv, A, A)
+            return pair_loglik(ml, mr, P_l, P_r, pi_, w_)
+
+        _, vjp = jax.vjp(
+            f, params["model"], rates_l[r], rates_r[r], m_l, m_r,
+            pi, w_vec,
+        )
+        dpm, drl_c, drr_c, dml, dmr, dpi_c, dw_c = vjp(g_flat)
+
+        dmodel = jax.tree.map(jnp.add, dmodel, dpm)
+        drl = drl.at[r].add(drl_c)
+        drr = drr.at[r].add(drr_c)
+        dpi_acc = dpi_acc + dpi_c
+        if data_grads:
+            dw = dw + dw_c
+        for dm, sl in ((dml, slice(None, Pv)), (dmr, slice(Pv, None))):
+            dm = dm.reshape(K, Pv, A, Sp)
+            nd = nodes[:, sl]
+            lf = is_leaf[:, sl]
+            if data_grads:
+                idl = jnp.where(lf, nd, N)
+                dleaves = dleaves.at[idl].add(dm, mode="drop")
+            qd = jnp.where(lf, R, nd - N)
+            pending = pending.at[rows[:, sl], qd].add(dm, mode="drop")
+
+    (dbranches,) = vjp_rates((drl, drr))
+    dparams_tw = dict(model=dmodel, branches=dbranches)
+    if not data_grads:
+        dleaves = jnp.zeros_like(leaves_sm)
+        dw = jnp.zeros((Sp,), dtype)
+    return pending, dleaves, dw, dpi_acc, dparams_tw
+
+
 def _twist_messages_bwd(key, aux, model, params, config, pi, g_llm, N,
                         shardings):
     """Reverse pass over the TWIST potential DAG (VNCSMC manual VJP).
@@ -254,6 +384,12 @@ def _twist_messages_bwd(key, aux, model, params, config, pi, g_llm, N,
     Returns (pending (K, R, A, Sp), dleaves_sm (N, A, Sp), dw (Sp,),
     dpi (A,), dparams_tw pytree like params).
     """
+    if isinstance(g_llm, (tuple, list)):
+        # unrolled-rank forward (twist.TwistConfig.unroll_max_ranks):
+        # per-rank truncated residuals take the unrolled reverse pass
+        return _twist_messages_bwd_unrolled(
+            key, aux, model, params, config, pi, g_llm, N, shardings
+        )
     from phylo_tpu.models.branches import branch_rates
     from phylo_tpu.pruning.kernels import pair_loglik
     from phylo_tpu.smc.sweep import _take_positions
@@ -306,15 +442,23 @@ def _twist_messages_bwd(key, aux, model, params, config, pi, g_llm, N,
     pending = jnp.zeros((K, R, A, Sp), dtype)
     if shardings is not None:
         pending = lax.with_sharding_constraint(pending, shardings.core)
+    # data_grads=False: dleaves/dw never leave this function non-zero,
+    # so keep them OUT of the scan carry -- a live carry defeats XLA's
+    # DCE and forces the per-chunk _dw_ref re-enumeration (log + full
+    # site reduce) plus two leaf scatter-adds (SweepConfig.data_grads)
+    data_grads = config.data_grads
     carry0 = dict(
         pending=pending,
-        dleaves=jnp.zeros_like(leaves_sm),
-        dw=jnp.zeros((Sp,), dtype),
         dpi=jnp.zeros_like(pi),
         dmodel=jax.tree.map(jnp.zeros_like, params["model"]),
         drl=jnp.zeros_like(rates_l),
         drr=jnp.zeros_like(rates_r),
     )
+    if data_grads:
+        carry0.update(
+            dleaves=jnp.zeros_like(leaves_sm),
+            dw=jnp.zeros((Sp,), dtype),
+        )
 
     t_r = jnp.repeat(jnp.arange(R, dtype=jnp.int32), n_chunks)
     t_c = jnp.tile(jnp.arange(n_chunks, dtype=jnp.int32), R)
@@ -370,23 +514,27 @@ def _twist_messages_bwd(key, aux, model, params, config, pi, g_llm, N,
             out["drl"] = carry["drl"].at[r].add(drl_c)
             out["drr"] = carry["drr"].at[r].add(drr_c)
             out["dpi"] = carry["dpi"] + dpi_c
-            out["dw"] = carry["dw"] + dw_c
+            if data_grads:
+                out["dw"] = carry["dw"] + dw_c
             # scatter the message cotangents: internal children into
             # the pending buffer, leaf children into dleaves (same
             # high-OOB drop sentinels as _messages_bwd)
-            pending, dleaves = carry["pending"], carry["dleaves"]
+            pending = carry["pending"]
+            dleaves = carry["dleaves"] if data_grads else None
             for dm, sl in ((dml, slice(None, C)), (dmr, slice(C, None))):
                 dm = dm.reshape(K, C, A, Sp)
                 nd = nodes[:, sl]
                 lf = is_leaf[:, sl]
-                idl = jnp.where(lf, nd, N)
-                dleaves = dleaves.at[idl].add(dm, mode="drop")
+                if data_grads:
+                    idl = jnp.where(lf, nd, N)
+                    dleaves = dleaves.at[idl].add(dm, mode="drop")
                 qd = jnp.where(lf, R, nd - N)
                 pending = pending.at[rows[:, sl], qd].add(
                     dm, mode="drop"
                 )
             out["pending"] = pending
-            out["dleaves"] = dleaves
+            if data_grads:
+                out["dleaves"] = dleaves
             return out
 
         carry = lax.cond(c * C < n_valid, do, lambda x: x, carry)
@@ -395,8 +543,10 @@ def _twist_messages_bwd(key, aux, model, params, config, pi, g_llm, N,
     carry, _ = lax.scan(body, carry0, (t_r, t_c))
     (dbranches,) = vjp_rates((carry["drl"], carry["drr"]))
     dparams_tw = dict(model=carry["dmodel"], branches=dbranches)
-    return (carry["pending"], carry["dleaves"], carry["dw"],
-            carry["dpi"], dparams_tw)
+    dleaves = (carry["dleaves"] if data_grads
+               else jnp.zeros_like(leaves_sm))
+    dw = carry["dw"] if data_grads else jnp.zeros((Sp,), dtype)
+    return carry["pending"], dleaves, dw, carry["dpi"], dparams_tw
 
 
 def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,

@@ -86,6 +86,28 @@ class TwistConfig:
     # expm when the pool transitions would exceed presample_budget_mb.
     presample_expm: bool = False
     presample_budget_mb: int = 1024
+    # Unroll the rank loop into straight-line code with STATICALLY
+    # truncated pair tables whenever R = N-1 <= unroll_max_ranks and
+    # the largest single-rank enumeration fits unroll_budget_mb.
+    # Inside a lax.scan every rank must evaluate all C(N,2) pairs and
+    # mask the invalid ones (static shapes), wasting sum_r C(N,2) vs
+    # sum_r C(N-r,2) ~ 2.5x of the enumeration compute FORWARD AND
+    # BACKWARD; chunked whole-chunk skipping recovers the compute but
+    # pays ~1.5 ms/chunk of dispatch latency per rank (xprof round 3),
+    # which dominates exactly at the reference's active small-N configs
+    # (autorun.sh: primate K=32 M=10).  With a Python-unrolled loop,
+    # rank r enumerates exactly C(n_active, 2) prefix-ordered pairs --
+    # no masking, no chunking, no cond.  Applies when decisions=None
+    # and shardings=None (golden-parity injection and GSPMD runs keep
+    # the scanned path).
+    unroll_max_ranks: int = 12
+    unroll_budget_mb: int = 256
+
+    def unrolled(self, N, M, K, S, itemsize):
+        P = (N * (N - 1)) // 2
+        return (N - 1 <= self.unroll_max_ranks
+                and P * M * K * S * itemsize
+                <= self.unroll_budget_mb * 2**20)
 
     def resolve_chunk(self, P, M, K, S, itemsize):
         C = self.pair_chunk
@@ -167,7 +189,8 @@ def _pool_draws(key, R, P, M, K, dtype):
 
 
 def precompute_twist_xs(key, config, model, params, rates_l, rates_r,
-                        N, dtype, decisions=None, skip_expm=False):
+                        N, dtype, decisions=None, skip_expm=False,
+                        prefix_ordered=False):
     """Pre-scan twist randomness + transitions, as lax.scan xs arrays
     (leading axis = rank).
 
@@ -191,6 +214,13 @@ def precompute_twist_xs(key, config, model, params, rates_l, rates_r,
         draws_l, draws_r = _pool_draws(key, R, P, M, K, dtype)
         pool_l = draws_l / rates_l[:, None, None, None].astype(dtype)
         pool_r = draws_r / rates_r[:, None, None, None].astype(dtype)
+    if prefix_ordered:
+        # unrolled-rank mode: reorder the pair axis ONCE here (host-side
+        # constant permutation) so each rank's truncated table is a free
+        # leading slice pool[:Pv] instead of a per-rank device gather
+        order = jnp.asarray(_prefix_order(N)[0])
+        pool_l = pool_l[:, order]
+        pool_r = pool_r[:, order]
     out = dict(twist_pool_l=pool_l, twist_pool_r=pool_r)
     A = model.A
     size = 2 * R * P * M * K * A * A * jnp.dtype(dtype).itemsize
@@ -258,7 +288,20 @@ def twisted_extend(key, config, model, params, stationary, leaves,
     twist_P_l/r (P, M, K, A, A) when presampled.  With
     "inj_twist_llm"/"inj_twist_choice" present (scalar replay of the
     manual VJP) all message work is bypassed.
+
+    When `n_active` is a Python int (unrolled-rank mode, see
+    TwistConfig.unroll_max_ranks) the enumeration uses a statically
+    TRUNCATED prefix-ordered pair table -- exactly C(n_active, 2)
+    pairs, no masking, no chunking -- and `dec`'s pools arrive
+    prefix-ordered (precompute_twist_xs(prefix_ordered=True)).
     """
+    if isinstance(n_active, int):
+        return _twisted_extend_static(
+            key, config, model, params, stationary, leaves, slot,
+            leaf_counts, row_of_node, internal_msgs, internal_logscale,
+            r, n_active, rate_l, rate_r, dec,
+            site_weights=site_weights, root_ll=root_ll,
+        )
     twist = config.twist
     M = twist.M
     N, A, S = leaves.shape    # sweep-internal states-major layout
@@ -326,6 +369,113 @@ def twisted_extend(key, config, model, params, stationary, leaves,
     else:
         P_l_chosen = P_r_chosen = None
     return p1, p2, b_l, b_r, P_l_chosen, P_r_chosen, q_pen, ll_lex, idx
+
+
+def _twisted_extend_static(key, config, model, params, stationary,
+                           leaves, slot, leaf_counts, row_of_node,
+                           internal_msgs, internal_logscale, r, n_active,
+                           rate_l, rate_r, dec, site_weights=None,
+                           root_ll=None):
+    """Twisted proposal for one rank with a STATIC active-root count.
+
+    Unrolled-rank mode (TwistConfig.unroll_max_ranks): the pair table is
+    the first C(n_active, 2) entries of the prefix-ordered enumeration
+    -- every pair valid by construction -- so the whole rank is one
+    un-masked, un-chunked batch and the sweep pays no wasted compute at
+    late ranks (a lax.scan body must evaluate all C(N, 2) pairs every
+    rank).  Pools in `dec` are prefix-ordered; the flat choice index is
+    in PREFIX-flat convention (pair_prefix * M + m) and is only ever
+    consumed by code on this same path (the scalar replay and the
+    manual twist reverse pass), so reference parity is unaffected: the
+    proposal distribution over (pair, subsample) is identical
+    (reference vncsmc.py:295-322 enumerates lexicographically, but the
+    categorical is order-invariant).
+    """
+    twist = config.twist
+    M = twist.M
+    N, A, S = leaves.shape
+    K = config.K
+    dtype = leaves.dtype
+
+    order_np, _ = _prefix_order(N)
+    Pv = (n_active * (n_active - 1)) // 2
+    pairs = jnp.asarray(upper_tri_pairs(N)[order_np[:Pv]])   # (Pv, 2)
+
+    pool_l = dec["twist_pool_l"][:Pv].astype(dtype)          # (Pv, M, K)
+    pool_r = dec["twist_pool_r"][:Pv].astype(dtype)
+    have_P = "twist_P_l" in dec
+
+    if dec and "inj_twist_llm" in dec:
+        ll = dec["inj_twist_llm"].astype(dtype)              # (Pv, M, K)
+        pool_P_l = pool_P_r = None
+        have_P = False
+    else:
+        from phylo_tpu.pruning.kernels import pair_loglik
+        from phylo_tpu.smc.sweep import _node_lookup
+
+        if have_P:
+            pool_P_l = dec["twist_P_l"][:Pv].astype(dtype)
+            pool_P_r = dec["twist_P_r"][:Pv].astype(dtype)
+
+        def enum_ll(model_params, pool_l, pool_r, internal_msgs):
+            pos = pairs.T.reshape(-1)                        # (2Pv,)
+            nodes = jnp.take(slot, pos, axis=1)              # (K, 2Pv)
+            msgs, _ = _node_lookup(
+                leaves, internal_msgs, internal_logscale, row_of_node,
+                nodes, unified=config.replicate_leaves,
+            )                                                # (K,2Pv,A,S)
+            m_l = msgs[:, :Pv].reshape(K * Pv, A, S)
+            m_r = msgs[:, Pv:].reshape(K * Pv, A, S)
+            if have_P:
+                P_l = jnp.transpose(
+                    pool_P_l, (1, 2, 0, 3, 4)).reshape(M, K * Pv, A, A)
+                P_r = jnp.transpose(
+                    pool_P_r, (1, 2, 0, 3, 4)).reshape(M, K * Pv, A, A)
+            else:
+                P_lr = model.transition(
+                    model_params, jnp.concatenate([pool_l, pool_r])
+                ).astype(dtype)                      # (2Pv, M, K, A, A)
+                P_l = jnp.transpose(
+                    P_lr[:Pv], (1, 2, 0, 3, 4)).reshape(M, K * Pv, A, A)
+                P_r = jnp.transpose(
+                    P_lr[Pv:], (1, 2, 0, 3, 4)).reshape(M, K * Pv, A, A)
+            w_vec = (site_weights if site_weights is not None
+                     else jnp.ones((S,), dtype))
+            ll_m = pair_loglik(
+                m_l, m_r, P_l, P_r, stationary, w_vec
+            ).reshape(M, K, Pv)
+            return jnp.transpose(ll_m, (2, 0, 1))            # (Pv, M, K)
+
+        enum_fn = jax.checkpoint(enum_ll) if twist.remat else enum_ll
+        ll = enum_fn(params["model"], pool_l, pool_r, internal_msgs)
+
+    terms = _pot_terms(
+        pairs, slot, leaf_counts, row_of_node, internal_logscale,
+        root_ll, N, dtype,
+    )                                                        # (K, Pv)
+    pots = ll + terms.T[:, None, :]                          # (Pv, M, K)
+    flat = jnp.transpose(pots, (2, 0, 1)).reshape(K, Pv * M)
+    flat = flat - jax.scipy.special.logsumexp(flat, axis=1, keepdims=True)
+
+    if dec and "inj_twist_choice" in dec:
+        idx = dec["inj_twist_choice"]
+    else:
+        idx = jax.random.categorical(key, flat, axis=1)
+    q_pen = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+
+    pair_idx = idx // M
+    m_idx = idx % M
+    p1 = pairs[pair_idx, 0]
+    p2 = pairs[pair_idx, 1]
+    ks = jnp.arange(K)
+    b_l = pool_l[pair_idx, m_idx, ks]
+    b_r = pool_r[pair_idx, m_idx, ks]
+    if have_P:
+        P_l_chosen = pool_P_l[pair_idx, m_idx, ks]
+        P_r_chosen = pool_P_r[pair_idx, m_idx, ks]
+    else:
+        P_l_chosen = P_r_chosen = None
+    return p1, p2, b_l, b_r, P_l_chosen, P_r_chosen, q_pen, ll, idx
 
 
 def _twist_ll_lex(config, model, params, stationary, leaves, slot,

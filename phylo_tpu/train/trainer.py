@@ -138,6 +138,11 @@ def _sweep_config(config, ds_N):
         twist=twist,
         ess_threshold=config.ess_threshold,
         carried_weights=config.carried_weights,
+        # the trainer only differentiates params -- skip the manual
+        # twist reverse pass's dleaves/dw accumulation (a full
+        # log-site-likelihood re-enumeration per rank otherwise kept
+        # alive by the scan carry)
+        data_grads=False,
     )
 
 

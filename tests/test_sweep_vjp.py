@@ -323,7 +323,12 @@ def test_manual_vjp_twist_sharded_grads_match_single_device():
 
     genome, model, params = _setup(N=6, S=40, seed=2)
     key = jax.random.PRNGKey(37)
-    cfg = SweepConfig(K=8, twist=TwistConfig(M=2), manual_vjp=True)
+    # unroll_max_ranks=0: the sharded run always takes the scanned path
+    # (unrolled mode excludes shardings), so pin the single-device
+    # reference to the same path -- the two paths draw different (both
+    # valid) trajectories from the same key
+    cfg = SweepConfig(K=8, twist=TwistConfig(M=2, unroll_max_ranks=0),
+                      manual_vjp=True)
 
     def loss(params, leaves, sh):
         return -sample_phylogenies(
@@ -372,3 +377,29 @@ def test_buffered_eval_matches_plain_sweep():
                                       np.asarray(plain.elbo))
         np.testing.assert_array_equal(np.asarray(r.log_weights),
                                       np.asarray(plain.log_weights))
+
+
+def test_data_grads_off_param_grads_identical():
+    """data_grads=False skips the twist reverse pass's dleaves/dw
+    accumulation (a per-rank log-site-likelihood re-enumeration kept
+    alive by the scan carry); parameter gradients must be bit-identical
+    to the default path, and data cotangents come back as exact zeros."""
+    from phylo_tpu.smc.twist import TwistConfig
+
+    genome, model, params = _setup(N=6, S=17)
+    key = jax.random.PRNGKey(3)
+    base = dict(twist=TwistConfig(M=3), manual_vjp=True)
+    g_on = _grads(SweepConfig(K=6, **base), genome, model, params, key)
+    g_off = _grads(SweepConfig(K=6, data_grads=False, **base),
+                   genome, model, params, key)
+    for a, b in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(g):
+        return -sample_phylogenies(
+            key, g, model, params, SweepConfig(K=6, data_grads=False,
+                                               **base)
+        ).elbo
+
+    dleaves = jax.grad(loss)(genome)
+    np.testing.assert_array_equal(np.asarray(dleaves), 0.0)
