@@ -99,11 +99,14 @@ class TwistConfig:
     # rank r enumerates exactly C(n_active, 2) prefix-ordered pairs --
     # no masking, no chunking, no cond.  Applies when decisions=None
     # and shardings=None (golden-parity injection and GSPMD runs keep
-    # the scanned path).
+    # the scanned path), and only with pair_chunk unset -- an explicit
+    # chunk size is a request for the chunked scan enumeration.
     unroll_max_ranks: int = 12
     unroll_budget_mb: int = 256
 
     def unrolled(self, N, M, K, S, itemsize):
+        if self.pair_chunk is not None:
+            return False
         P = (N * (N - 1)) // 2
         return (N - 1 <= self.unroll_max_ranks
                 and P * M * K * S * itemsize

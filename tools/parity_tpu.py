@@ -64,6 +64,23 @@ def run_sweeps(dtype_name):
     elbos = [float(fwd(jax.random.PRNGKey(1000 + i)))
              for i in range(N_SWEEPS)]
 
+    # VNCSMC production path: on TPU the unrolled-rank mode engages
+    # (primate R=11 <= unroll_max_ranks); the CPU f64 stage pins the
+    # SCANNED enumeration (unroll_max_ranks=0), so this section also
+    # certifies the unrolled/scanned proposal laws agree on-chip
+    from phylo_tpu.smc.twist import TwistConfig
+
+    tw = (TwistConfig(M=10) if dtype_name == "f32"
+          else TwistConfig(M=10, unroll_max_ranks=0))
+    cfg_tw = SweepConfig(K=32, twist=tw)
+    fwd_tw = jax.jit(
+        lambda key: sample_phylogenies(
+            key, leaves, model, params, cfg_tw
+        ).elbo
+    )
+    elbos_tw = [float(fwd_tw(jax.random.PRNGKey(2000 + i)))
+                for i in range(N_SWEEPS)]
+
     # paired fixed-decision sweep (fully deterministic given decisions)
     import numpy as np
 
@@ -82,7 +99,7 @@ def run_sweeps(dtype_name):
         jax.random.PRNGKey(0), leaves[:, :512], model, params, cfg_d,
         decisions=dec,
     )
-    return elbos, float(res.elbo), jax.default_backend()
+    return elbos, elbos_tw, float(res.elbo), jax.default_backend()
 
 
 if __name__ == "__main__":
@@ -93,14 +110,15 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
-        elbos, fixed, backend = run_sweeps("f64")
-        json.dump({"elbos": elbos, "fixed": fixed, "backend": backend},
+        elbos, elbos_tw, fixed, backend = run_sweeps("f64")
+        json.dump({"elbos": elbos, "elbos_tw": elbos_tw, "fixed": fixed,
+                   "backend": backend},
                   open("/tmp/parity_cpu.json", "w"))
         sys.exit(0)
 
     import numpy as np  # noqa: F811
 
-    elbos_tpu, fixed_tpu, backend = run_sweeps("f32")
+    elbos_tpu, elbos_tw_tpu, fixed_tpu, backend = run_sweeps("f32")
     assert backend == "tpu", f"run this on the chip (got {backend})"
 
     env = dict(os.environ, PHYLO_PARITY_STAGE="cpu")
@@ -131,6 +149,25 @@ if __name__ == "__main__":
             "tpu_f32": fixed_tpu, "cpu_f64": cpu["fixed"],
             "rel_err": fixed_rel, "pass_1e3": fixed_rel <= 1e-3,
         },
+    }
+    tt = np.asarray(elbos_tw_tpu)
+    ct = np.asarray(cpu["elbos_tw"])
+    se_tw = float(np.sqrt(tt.var(ddof=1) / len(tt)
+                          + ct.var(ddof=1) / len(ct)))
+    gap_tw = float(abs(tt.mean() - ct.mean()))
+    out["vncsmc_K32_M10"] = {
+        "tpu_f32": {"mean": tt.mean(), "sd": float(tt.std(ddof=1)),
+                    "elbos": elbos_tw_tpu,
+                    "path": "v5e f32 unrolled-rank twist + Pallas twist "
+                            "bwd (production)"},
+        "cpu_f64": {"mean": ct.mean(), "sd": float(ct.std(ddof=1)),
+                    "elbos": cpu["elbos_tw"],
+                    "path": "CPU x64 scanned chunked enumeration "
+                            "(unroll_max_ranks=0, oracle-pinned)"},
+        "gap_nats": gap_tw,
+        "combined_se": se_tw,
+        "gap_in_se": gap_tw / se_tw,
+        "pass_3se": gap_tw <= 3 * se_tw,
     }
     json.dump(out, open(os.path.join(REPO, "PARITY_TPU.json"), "w"),
               indent=2)
