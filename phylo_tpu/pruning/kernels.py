@@ -1117,6 +1117,13 @@ pair_loglik.defvjp(_pair_loglik_fwd, _pair_loglik_bwd)
 
 TKF = int(_os.environ.get("PHYLO_FUSED_RANK_TK", "32"))
 FUSED_RANK = _os.environ.get("PHYLO_FUSED_RANK", "1") == "1"
+# byte cap on the (R, K, 2, G*A, Sp) child-message residuals the
+# manual-VJP forward saves for the DMA-free backward; above it the
+# backward re-gathers by DMA (DS1-class full-S shapes, where the
+# residual traffic would exceed the re-gather latency)
+SAVE_CHILDREN_CAP = int(
+    _os.environ.get("PHYLO_SAVE_CHILDREN_CAP", str(2 ** 30))
+)
 
 
 def _rank_tile(Sp, planes=4):
@@ -1171,16 +1178,27 @@ def _dma_gather_children(idx_ref, leaves_hbm, buf_hbm, m1_s, m2_s,
 
 def _kernel_rank(idx_ref, outc_ref, leaves_hbm, buf_hbm, pl_ref, pr_ref,
                  pi_ref, w_ref, bufo_ref, rootll_ref, logscale_ref,
-                 m1_s, m2_s, sems, *, A, N, tk, G=1):
+                 *rest, A, N, tk, G=1, save=False):
     """Block-structured transitions (GammaSites, G > 1) share this body:
     messages carry G*A planes, P slabs are (tk, G*A*A) laid out (g, a,
     b), and the contraction only mixes states WITHIN a block (rate
-    categories never mix along a branch).  G=1 is the dense case."""
+    categories never mix along a branch).  G=1 is the dense case.
+
+    save=True appends two (tk, G*A, Sp) outputs holding the gathered
+    children verbatim -- residuals for the DMA-free backward
+    (_kernel_rank_bwd_saved)."""
     from jax.experimental import pallas as pl
 
+    if save:
+        m1o_ref, m2o_ref, m1_s, m2_s, sems = rest
+    else:
+        m1_s, m2_s, sems = rest
     ik = pl.program_id(0)
     _dma_gather_children(idx_ref, leaves_hbm, buf_hbm, m1_s, m2_s,
                          sems, ik * tk, N, tk)
+    if save:
+        m1o_ref[:] = m1_s[:]
+        m2o_ref[:] = m2_s[:]
 
     weights = w_ref[:]                                  # (1, Sp)
     w_planes = []
@@ -1233,7 +1251,8 @@ def blockdiag_dense(P):
     return out
 
 
-def _fused_rank_ref(leaves, buf, idx, outc, P_l, P_r, pi, weights):
+def _fused_rank_ref(leaves, buf, idx, outc, P_l, P_r, pi, weights,
+                    save_children=False):
     """jnp reference of the fused rank update (CPU fallback + parity
     oracle for interpret-mode CI).  Same child resolution as
     _node_lookup's non-unified branch."""
@@ -1255,10 +1274,13 @@ def _fused_rank_ref(leaves, buf, idx, outc, P_l, P_r, pi, weights):
     buf = lax.dynamic_update_slice(
         buf, merged[:, None], (zero, outc[0], zero, zero)
     )
+    if save_children:
+        return buf, rootll, logscale, ms[0], ms[1]
     return buf, rootll, logscale
 
 
-def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights):
+def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights,
+                      save_children=False):
     """One full rank update of the sweep, in place: child gather +
     transition application + merge + rescale + root-loglik reduction +
     merged-column scatter in ONE pallas_call.
@@ -1289,7 +1311,7 @@ def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights):
 
     if jax.default_backend() != "tpu" and not INTERPRET:
         return _fused_rank_ref(leaves, buf, idx, outc, P_l, P_r, pi,
-                               weights)
+                               weights, save_children=save_children)
 
     K, R, GA, Sp = buf.shape
     N = leaves.shape[0]
@@ -1298,6 +1320,34 @@ def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights):
     tk = _rank_tile(Sp, GA)
     grid = (K // tk,)
     dtype = buf.dtype
+
+    out_specs = [
+        pl.BlockSpec(
+            (tk, 1, GA, Sp),
+            lambda ik, idx, outc: (ik, outc[0], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((tk, 1), lambda ik, idx, outc: (ik, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tk, 1), lambda ik, idx, outc: (ik, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(buf.shape, dtype),
+        jax.ShapeDtypeStruct((K, 1), dtype),
+        jax.ShapeDtypeStruct((K, 1), dtype),
+    ]
+    if save_children:
+        out_specs += [
+            pl.BlockSpec((tk, GA, Sp), lambda ik, idx, outc: (ik, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, GA, Sp), lambda ik, idx, outc: (ik, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((K, GA, Sp), dtype),
+            jax.ShapeDtypeStruct((K, GA, Sp), dtype),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1314,35 +1364,25 @@ def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights):
             pl.BlockSpec((1, Sp), lambda ik, idx, outc: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (tk, 1, GA, Sp),
-                lambda ik, idx, outc: (ik, outc[0], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((tk, 1), lambda ik, idx, outc: (ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, 1), lambda ik, idx, outc: (ik, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((tk, GA, Sp), dtype),
             pltpu.VMEM((tk, GA, Sp), dtype),
             pltpu.SemaphoreType.DMA((2, tk)),
         ],
     )
-    buf_out, rootll, logscale = pl.pallas_call(
-        functools.partial(_kernel_rank, A=A, N=N, tk=tk, G=G),
+    outs = pl.pallas_call(
+        functools.partial(_kernel_rank, A=A, N=N, tk=tk, G=G,
+                          save=save_children),
         grid_spec=grid_spec,
         interpret=INTERPRET,
-        out_shape=[
-            jax.ShapeDtypeStruct(buf.shape, dtype),
-            jax.ShapeDtypeStruct((K, 1), dtype),
-            jax.ShapeDtypeStruct((K, 1), dtype),
-        ],
+        out_shape=out_shape,
         input_output_aliases={3: 0},   # buf (after 2 scalar args + leaves)
     )(idx, outc, leaves, buf, P_l.reshape(K, G * A * A),
       P_r.reshape(K, G * A * A), pi[None], weights[None])
+    buf_out, rootll, logscale = outs[:3]
+    if save_children:
+        return (buf_out, rootll[:, 0], logscale[:, 0], outs[3], outs[4])
     return buf_out, rootll[:, 0], logscale[:, 0]
 
 
@@ -1359,7 +1399,34 @@ def _kernel_rank_bwd(idx_ref, leaves_hbm, buf_hbm, pl_ref, pr_ref,
     ik = pl.program_id(0)
     _dma_gather_children(idx_ref, leaves_hbm, buf_hbm, m1_s, m2_s,
                          sems, ik * tk, N, tk)
+    _rank_bwd_core(m1_s, m2_s, pl_ref, pr_ref, pi_ref, w_ref, gm_ref,
+                   gr_ref, gl_ref, dm1_ref, dm2_ref, dpl_ref, dpr_ref,
+                   dpi_ref, dw_ref, A=A, G=G)
 
+
+def _kernel_rank_bwd_saved(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref,
+                           w_ref, gm_ref, gr_ref, gl_ref, dm1_ref,
+                           dm2_ref, dpl_ref, dpr_ref, dpi_ref, dw_ref,
+                           *, A, G=1):
+    """Reverse of one rank reading the forward's SAVED child messages
+    as pipelined VMEM blocks instead of re-gathering by DMA.  The
+    per-particle DMA re-gather measured 56% of the backward kernel at
+    primate/batch-256 shapes (2*K small-slab copies per rank are
+    latency-bound, ~9x off the HBM roofline); streaming the saved
+    (K, G*A, Sp) residuals is sequential traffic the pipeline
+    prefetches for free."""
+    _rank_bwd_core(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
+                   gm_ref, gr_ref, gl_ref, dm1_ref, dm2_ref, dpl_ref,
+                   dpr_ref, dpi_ref, dw_ref, A=A, G=G)
+
+
+def _rank_bwd_core(m1_s, m2_s, pl_ref, pr_ref, pi_ref, w_ref, gm_ref,
+                   gr_ref, gl_ref, dm1_ref, dm2_ref, dpl_ref, dpr_ref,
+                   dpi_ref, dw_ref, *, A, G=1):
+    """Shared merge-backward math of the two reverse rank kernels."""
+    from jax.experimental import pallas as pl
+
+    ik = pl.program_id(0)
     w = w_ref[:]                                        # (1, Sp)
     dtype = w.dtype
     GA = G * A
@@ -1570,6 +1637,101 @@ def fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l, P_r, pi, weights):
     )(idx, leaves, buf, P_l.reshape(K, G * A * A),
       P_r.reshape(K, G * A * A), pi[None], weights[None], gm,
       gr[:, None], gl[:, None])
+    dpl = dpl.reshape((K,) + P_l.shape[1:])
+    dpr = dpr.reshape((K,) + P_r.shape[1:])
+    return dm1, dm2, dpl, dpr, dpi[:1], dw[:1]
+
+
+def _fused_rank_bwd_saved_ref(m1, m2, gm, gr, gl, P_l, P_r, pi,
+                              weights):
+    """jnp reference for interpret-mode CI / CPU fallback of the
+    saved-children backward."""
+    def fwd(m1, m2, P_l, P_r, pi, weights):
+        if P_l.ndim == 4:
+            P_l = blockdiag_dense(P_l)
+            P_r = blockdiag_dense(P_r)
+        return _ref_impl(m1, m2, P_l, P_r, pi, weights)
+
+    _, vjp = jax.vjp(fwd, m1, m2, P_l, P_r, pi, weights)
+    dm1, dm2, dPl, dPr, dpi, dw = vjp((gm, gr, gl))
+    return dm1, dm2, dPl, dPr, dpi[None], dw[None]
+
+
+def fused_rank_bwd_saved(m1, m2, gm, gr, gl, P_l, P_r, pi, weights):
+    """DMA-free reverse of one rank's merge: consumes the child
+    messages SAVED by the forward kernel (fused_rank_update with
+    save_children=True) as streaming VMEM blocks.
+
+    Same outputs as fused_rank_bwd.  The re-gather variant spends 56%
+    of its time on 2*K per-particle slab DMAs (latency-bound at small
+    site counts -- /tmp ablation, round 3); here the residuals arrive
+    via the grid pipeline's sequential prefetch instead."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        return _fused_rank_bwd_saved_ref(m1, m2, gm, gr, gl, P_l, P_r,
+                                         pi, weights)
+
+    K, GA, Sp = m1.shape
+    G = P_l.shape[1] if P_l.ndim == 4 else 1   # blocked: (K, G, A, A)
+    A = GA // G
+    tk = _rank_tile(Sp, GA)
+    nprog = K // tk
+    dtype = m1.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec((tk, GA, Sp), lambda ik: (ik, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, GA, Sp), lambda ik: (ik, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, G * A * A), lambda ik: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, G * A * A), lambda ik: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GA), lambda ik: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp), lambda ik: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, GA, Sp), lambda ik: (ik, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, 1), lambda ik: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, 1), lambda ik: (ik, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tk, GA, Sp), lambda ik: (ik, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, GA, Sp), lambda ik: (ik, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, G * A * A), lambda ik: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, G * A * A), lambda ik: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, GA), lambda ik: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Sp), lambda ik: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    dm1, dm2, dpl, dpr, dpi, dw = pl.pallas_call(
+        functools.partial(_kernel_rank_bwd_saved, A=A, G=G),
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+        out_shape=[
+            jax.ShapeDtypeStruct((K, GA, Sp), dtype),
+            jax.ShapeDtypeStruct((K, GA, Sp), dtype),
+            jax.ShapeDtypeStruct((K, G * A * A), dtype),
+            jax.ShapeDtypeStruct((K, G * A * A), dtype),
+            jax.ShapeDtypeStruct((8, GA), dtype),
+            jax.ShapeDtypeStruct((8, Sp), dtype),
+        ],
+    )(m1, m2, P_l.reshape(K, G * A * A), P_r.reshape(K, G * A * A),
+      pi[None], weights[None], gm, gr[:, None], gl[:, None])
     dpl = dpl.reshape((K,) + P_l.shape[1:])
     dpr = dpr.reshape((K,) + P_r.shape[1:])
     return dm1, dm2, dpl, dpr, dpi[:1], dw[:1]

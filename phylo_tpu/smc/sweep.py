@@ -521,6 +521,17 @@ def _sample_body(key, leaves, model, params, config, *,
             and decisions is None and injected is None
             and K % TKF == 0
         )
+    # manual-VJP forward: save the gathered children as residuals so
+    # the reverse pass skips the per-particle DMA re-gather (56% of
+    # fused_rank_bwd at batch-256 shapes); capped by residual bytes
+    save_children = False
+    if fused_rank and want_aux:
+        from phylo_tpu.pruning.kernels import SAVE_CHILDREN_CAP, TS
+
+        Sp_k = -(-S // TS) * TS
+        GA_k = leaves.shape[1]
+        resid_bytes = 2 * n_ranks * K * GA_k * Sp_k * leaves.dtype.itemsize
+        save_children = resid_bytes <= SAVE_CHILDREN_CAP
     if use_pallas or fused_rank:
         # pre-pad the site axis to the kernel tile so the per-rank pad
         # op disappears; padding columns are all-ones with weight 0
@@ -772,10 +783,18 @@ def _sample_body(key, leaves, model, params, config, *,
             outc = jnp.reshape(r, (1,)).astype(jnp.int32)
             w_vec = (site_weights if site_weights is not None
                      else jnp.ones((S,), dtype))
-            internal_msgs, rootll_raw, d_lsc = fused_rank_update(
-                leaves, state["internal_msgs"], idx4, outc, P_l, P_r,
-                stationary, w_vec,
-            )
+            child_l = child_r = None
+            if save_children:
+                (internal_msgs, rootll_raw, d_lsc, child_l,
+                 child_r) = fused_rank_update(
+                    leaves, state["internal_msgs"], idx4, outc, P_l,
+                    P_r, stationary, w_vec, save_children=True,
+                )
+            else:
+                internal_msgs, rootll_raw, d_lsc = fused_rank_update(
+                    leaves, state["internal_msgs"], idx4, outc, P_l,
+                    P_r, stationary, w_vec,
+                )
             node_lsc = d_lsc + lsc1 + lsc2
             ll_new = rootll_raw + lsc1 + lsc2
         else:
@@ -898,6 +917,8 @@ def _sample_body(key, leaves, model, params, config, *,
                 rows=rows_n, pairs=pair_pos, rootll_raw=rootll_raw,
                 d_lsc=d_lsc, do_resample=do_resample,
             )
+            if save_children:
+                out.update(child_l=child_l, child_r=child_r)
             if config.twist is not None:
                 # twist residuals: the (P, M, K) merge log-likelihoods
                 # at the cut, the flat choice, the post-resample lookup
@@ -1061,6 +1082,9 @@ def _sample_body(key, leaves, model, params, config, *,
             rootll_raw=outs["rootll_raw"],
             d_lsc=outs["d_lsc"],
         )
+        if "child_l" in outs:
+            aux.update(child_l=outs["child_l"],
+                       child_r=outs["child_r"])
         if config.twist is not None:
             aux.update(
                 twist_llm=outs["twist_llm"],

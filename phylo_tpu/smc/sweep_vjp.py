@@ -601,12 +601,19 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
     # fused reverse rank kernel: the internal-only buffer layout is the
     # marker that the forward ran the fused rank kernel (TPU,
     # K % TKF == 0), so its backward twin applies too
-    from phylo_tpu.pruning.kernels import INTERPRET, TKF, fused_rank_bwd
+    from phylo_tpu.pruning.kernels import (
+        INTERPRET, TKF, fused_rank_bwd, fused_rank_bwd_saved,
+    )
 
     use_fused = (
         buf.shape[1] == R and K % TKF == 0
         and (jax.default_backend() == "tpu" or INTERPRET)
     )
+    # children saved by the forward kernel -> DMA-free reverse kernel
+    # (the per-particle re-gather is 56% of fused_rank_bwd's time at
+    # batch-256 shapes; see kernels.fused_rank_bwd_saved)
+    child_l = aux.get("child_l") if use_fused else None
+    child_r = aux.get("child_r") if use_fused else None
 
     dPl_out = [None] * R
     dPr_out = [None] * R
@@ -619,13 +626,19 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
 
         if use_fused:
             is_leaf = ids < N
-            idx4 = jnp.stack([
-                rows[:, 0], ids[:, 0], rows[:, 1], ids[:, 1],
-            ]).astype(jnp.int32)
-            dm1, dm2, dPl, dPr, dpi_p, dw_p = fused_rank_bwd(
-                leaves_sm, buf, idx4, cot_merged, g_rootll[r],
-                g_dlsc[r], P_l_all[r], P_r_all[r], pi, w_vec,
-            )
+            if child_l is not None:
+                dm1, dm2, dPl, dPr, dpi_p, dw_p = fused_rank_bwd_saved(
+                    child_l[r], child_r[r], cot_merged, g_rootll[r],
+                    g_dlsc[r], P_l_all[r], P_r_all[r], pi, w_vec,
+                )
+            else:
+                idx4 = jnp.stack([
+                    rows[:, 0], ids[:, 0], rows[:, 1], ids[:, 1],
+                ]).astype(jnp.int32)
+                dm1, dm2, dPl, dPr, dpi_p, dw_p = fused_rank_bwd(
+                    leaves_sm, buf, idx4, cot_merged, g_rootll[r],
+                    g_dlsc[r], P_l_all[r], P_r_all[r], pi, w_vec,
+                )
             dpi_r = jnp.sum(dpi_p, axis=0)
             dw_r = jnp.sum(dw_p, axis=0)
         else:

@@ -281,6 +281,67 @@ def test_fused_rank_bwd_matches_jnp_vjp(interpret_mode, rng, K, R, N, A, S,
         )
 
 
+@pytest.mark.parametrize("K,R,N,A,S", [(8, 5, 6, 4, 128), (16, 3, 4, 4, 256)])
+def test_fused_rank_update_save_children(interpret_mode, rng, K, R, N, A,
+                                         S, monkeypatch):
+    """save_children=True returns the gathered children verbatim (the
+    residuals the DMA-free backward consumes) alongside unchanged
+    primary outputs."""
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(kernels, "TKF", 4)
+    buf, leaves, idx, P_l, P_r, pi, w = _rank_inputs(rng, K, R, N, A, S)
+    outc = jnp.asarray([R - 1], jnp.int32)
+
+    buf_k, rll_k, lsc_k, c1_k, c2_k = kernels.fused_rank_update(
+        leaves, buf, idx, outc, P_l, P_r, pi, w, save_children=True
+    )
+    buf_r, rll_r, lsc_r, c1_r, c2_r = kernels._fused_rank_ref(
+        leaves, buf, idx, outc, P_l, P_r, pi, w, save_children=True
+    )
+    for n, a, b in zip(
+        ["buf", "rootll", "logscale", "child_l", "child_r"],
+        (buf_k, rll_k, lsc_k, c1_k, c2_k),
+        (buf_r, rll_r, lsc_r, c1_r, c2_r),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-14,
+            err_msg=n,
+        )
+
+
+@pytest.mark.parametrize("K,R,N,A,S", [(8, 5, 6, 4, 128), (16, 3, 4, 4, 256)])
+def test_fused_rank_bwd_saved_matches_regather(interpret_mode, rng, K, R,
+                                               N, A, S, monkeypatch):
+    """The DMA-free backward on saved children == the re-gather
+    backward on the same (buf, idx) resolution."""
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(kernels, "TKF", 4)
+    buf, leaves, idx, P_l, P_r, pi, w = _rank_inputs(rng, K, R, N, A, S)
+    outc = jnp.asarray([R - 1], jnp.int32)
+    _, _, _, m1, m2 = kernels._fused_rank_ref(
+        leaves, buf, idx, outc, P_l, P_r, pi, w, save_children=True
+    )
+    gm = jnp.asarray(rng.normal(0, 1.0, (K, A, S)))
+    gr = jnp.asarray(rng.normal(0, 1.0, (K,)))
+    gl = jnp.asarray(rng.normal(0, 1.0, (K,)))
+
+    got = kernels.fused_rank_bwd_saved(m1, m2, gm, gr, gl, P_l, P_r,
+                                       pi, w)
+    want = kernels.fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l,
+                                  P_r, pi, w)
+    for n, a, b in zip(["dm1", "dm2", "dPl", "dPr", "dpi", "dw"], got,
+                       want):
+        # dpi/dw come back as per-program partials; compare the sums
+        if n in ("dpi", "dw"):
+            a, b = np.asarray(a).sum(0), np.asarray(b).sum(0)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12,
+            err_msg=n,
+        )
+
+
 def test_fused_rank_bwd_handles_max_ties(interpret_mode, rng, monkeypatch):
     # identical P columns + uniform pi -> every w_plane ties at the max
     import jax.numpy as jnp
