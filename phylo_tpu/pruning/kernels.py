@@ -1119,10 +1119,13 @@ TKF = int(_os.environ.get("PHYLO_FUSED_RANK_TK", "32"))
 FUSED_RANK = _os.environ.get("PHYLO_FUSED_RANK", "1") == "1"
 # byte cap on the (R, K, 2, G*A, Sp) child-message residuals the
 # manual-VJP forward saves for the DMA-free backward; above it the
-# backward re-gathers by DMA (DS1-class full-S shapes, where the
-# residual traffic would exceed the re-gather latency)
+# backward re-gathers by DMA.  Interleaved A/B at primate/K=2048
+# (round 3): batch-256 residuals (184 MB) win 15.3 vs 15.6 ms/step,
+# full-S residuals (738 MB) LOSE 24.4 vs 22.2 — the extra
+# write+read traffic overtakes the re-gather latency — so the default
+# admits minibatch-sized residuals only.
 SAVE_CHILDREN_CAP = int(
-    _os.environ.get("PHYLO_SAVE_CHILDREN_CAP", str(2 ** 30))
+    _os.environ.get("PHYLO_SAVE_CHILDREN_CAP", str(2 ** 28))
 )
 
 
