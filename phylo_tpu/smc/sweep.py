@@ -141,11 +141,13 @@ class SweepConfig:
     # resampling gradient: indices constant, gathered values
     # differentiable; matches XLA AD to 1e-8 in tests/test_sweep_vjp).
     # "auto" (default) enables it when K * N * S >= 3e6 AND N <= 64.
-    # With the fused rank kernels (round 3) the manual path wins at
-    # every probed at-scale config (primate K=2048 full-S step 43.5 ->
-    # 23.7 ms, batch-256 19.9 -> 18.4; DS1 K=2048 full-S 199 -> 91 ms)
-    # and loses only on small problems (primate K=512 batch-256 5.8 ->
-    # 7.1 ms); True / False force it.  The N cap bounds the reverse
+    # At full-S the manual path wins big (interleaved A/B, K=2048,
+    # round 3: primate S=898 21.5 vs 40.5 ms, DS1 S=1949 91 vs 199).
+    # At S=256 minibatches XLA AD wins STANDALONE (primate 14.8 vs
+    # 15.3) but manual wins IN SITU inside the fused-epoch lax.scan
+    # (0.0547 vs 0.0590 s/epoch on the headline config) -- the usual
+    # standalone-vs-in-situ inversion -- so the gate does not exclude
+    # small-S minibatches; True / False force it.  The N cap bounds the reverse
     # pass's Python unroll (N-1 straight-line rank blocks) so
     # many-taxa datasets don't blow compile time; explicit
     # manual_vjp=True overrides it.
