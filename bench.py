@@ -8,7 +8,7 @@ the epoch wall-clock on this chip; `vs_baseline` is the speedup over the
 reference-equivalent float64 CPU recursion (baselines/torch_reference.py),
 measured once and cached in BASELINE_MEASURED.json.
 
-Usage: python bench.py [--K 2048] [--batch 256] [--epochs 3]
+Usage: python bench.py [--K 2048] [--batch 256] [--epochs 5]
 """
 
 from __future__ import annotations
@@ -125,9 +125,12 @@ def measure_tpu(genome, K, batch, epochs, sweep_kwargs=None):
         elbo = eval_elbo(params, sub)
         return params, opt_state, key, elbo
 
-    # warmup/compile
-    params, opt_state, key, elbo = one_epoch(params, opt_state, key)
-    elbo.block_until_ready()
+    # warmup/compile: two epochs -- the first one right after compile
+    # (or persistent-cache load) still carries stragglers worth several
+    # ms that a single warmup leaves in the measured window
+    for _ in range(2):
+        params, opt_state, key, elbo = one_epoch(params, opt_state, key)
+        elbo.block_until_ready()
 
     t0 = time.time()
     for _ in range(epochs):
@@ -358,7 +361,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--K", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--details", action="store_true",
                     help="also time every BASELINE.md config into "
