@@ -1129,6 +1129,37 @@ SAVE_CHILDREN_CAP = int(
 )
 
 
+def _kernel_alloc(o_ref):
+    # intentionally empty: the output is an UNINITIALIZED allocation
+    pass
+
+
+def alloc_rank_buffer(K, R, GA, Sp, dtype):
+    """Uninitialized (K, R, GA, Sp) HBM allocation for the write-once
+    internal-message buffer of the fused rank path.
+
+    The sweep writes each rank's whole column before any later rank
+    reads it (children are always nodes created at earlier ranks, and
+    `_dma_gather_children` copies exact slabs -- no masked reads), so
+    the 300+ MB zero-fill jnp.zeros pays (~520 us at primate/K=2048
+    full-S, ~ the HBM write roofline) buys nothing.  A no-op
+    pallas_call just allocates: measured 1121 -> 738 us on a
+    write-one-column microbench.  CPU/non-TPU falls back to zeros
+    (the reference path masks with where(), which would propagate
+    NaN garbage)."""
+    import jax
+
+    if jax.default_backend() != "tpu" or INTERPRET:
+        return jnp.zeros((K, R, GA, Sp), dtype)
+    from jax.experimental import pallas as pl
+
+    return pl.pallas_call(
+        _kernel_alloc,
+        out_shape=jax.ShapeDtypeStruct((K, R, GA, Sp), dtype),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+    )()
+
+
 def _rank_tile(Sp, planes=4):
     """Particles per program for the fused rank kernels, shrunk for
     long sequences so the (tk, planes, Sp)-sized VMEM blocks (2 scratch

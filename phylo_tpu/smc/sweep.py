@@ -604,6 +604,12 @@ def _sample_body(key, leaves, model, params, config, *,
                 ],
                 axis=1,
             )
+        elif fused_rank:
+            # write-once + exact-slab DMA gathers: contents are never
+            # read before written, so skip the 300+ MB zero-fill
+            from phylo_tpu.pruning.kernels import alloc_rank_buffer
+
+            internal_msgs0 = alloc_rank_buffer(K, n_ranks, A, S, dtype)
         else:
             internal_msgs0 = jnp.zeros((K, n_ranks, A, S), dtype=dtype)
         if shardings is not None:
