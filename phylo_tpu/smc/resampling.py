@@ -8,10 +8,17 @@ schemes standard in the SMC literature, behind a strategy name.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
 STRATEGIES = ("multinomial", "systematic", "stratified", "none")
+
+# A/B knob: draw multinomial via iid-uniform inverse CDF (O(K log K))
+# instead of the (K, K) Gumbel field (O(K^2)).  Same distribution,
+# different random stream.
+MULTINOMIAL_CDF = _os.environ.get("PHYLO_MULTINOMIAL_CDF", "0") == "1"
 
 
 def resample_indices(key, log_weights, strategy="multinomial"):
@@ -21,7 +28,9 @@ def resample_indices(key, log_weights, strategy="multinomial"):
     distribution, vcsmc.py:285): its (K, K) Gumbel field looks
     expensive standalone (32 us vs 15 us for an inverse-CDF draw at
     K=2048) but pipelines better inside the rank scan -- switching to
-    cumsum+searchsorted measured ~0.9 ms SLOWER per full sweep in situ.
+    cumsum+searchsorted measured ~0.9 ms SLOWER per full sweep in situ
+    (round 2), re-confirmed in the fused-rank-kernel regime (round 3:
+    7.9 vs 6.6 ms primate fwd sweep with PHYLO_MULTINOMIAL_CDF=1).
     The lower-variance schemes invert the weight CDF with an unrolled
     binary search.
     """
@@ -29,6 +38,13 @@ def resample_indices(key, log_weights, strategy="multinomial"):
     if strategy == "none":
         return jnp.arange(K)
     if strategy == "multinomial":
+        if MULTINOMIAL_CDF:
+            log_norm = log_weights - jnp.max(log_weights)
+            cdf = jnp.cumsum(jnp.exp(log_norm))
+            u = cdf[-1] * jax.random.uniform(key, (K,), dtype=cdf.dtype)
+            idx = jnp.searchsorted(cdf, u, side="right",
+                                   method="scan_unrolled")
+            return jnp.minimum(idx, K - 1).astype(jnp.int32)
         log_norm = log_weights - jax.scipy.special.logsumexp(log_weights)
         return jax.random.categorical(key, log_norm, shape=(K,))
     log_norm = log_weights - jnp.max(log_weights)
