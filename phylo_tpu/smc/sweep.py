@@ -129,8 +129,13 @@ class SweepConfig:
     # lax.scan unroll factor for the rank loop; 0 = fully unroll (the
     # whole sweep becomes straight-line code -- XLA can then alias the
     # message buffer and its cotangent in place instead of copying scan
-    # carries every iteration)
-    unroll: int = 1
+    # carries every iteration); None = auto: fully unroll on the
+    # fused-rank-kernel path when the sweep is short (R <= 12, same cap
+    # as the twist unrolled-rank mode, bounding compile time), else
+    # keep the scan.  A/B round 3 (primate K=2048): full unroll cut the
+    # fwd sweep 6.4 -> 5.7 ms and the batch-256 manual step 15.4 ->
+    # 14.8 (scan bookkeeping + cross-rank scheduling freedom).
+    unroll: Optional[int] = None
     # manual whole-sweep VJP (smc.sweep_vjp): the reverse pass
     # re-gathers children from the final write-once message buffer and
     # carries only a compact (K, N-1, A, S) pending-cotangent buffer,
@@ -1040,7 +1045,11 @@ def _sample_body(key, leaves, model, params, config, *,
     else:
         xs = (ranks, xs_dec)
         step_fn = jax.checkpoint(step) if config.remat else step
-        unroll = config.unroll if config.unroll > 0 else n_ranks
+        unroll = config.unroll
+        if unroll is None:
+            unroll = n_ranks if (fused_rank and n_ranks <= 12) else 1
+        elif unroll == 0:
+            unroll = n_ranks
         final, outs = lax.scan(step_fn, init, xs, unroll=unroll)
 
     log_weights = outs["log_w"]
