@@ -130,11 +130,14 @@ class SweepConfig:
     # whole sweep becomes straight-line code -- XLA can then alias the
     # message buffer and its cotangent in place instead of copying scan
     # carries every iteration); None = auto: fully unroll on the
-    # fused-rank-kernel path when the sweep is short (R <= 12, same cap
-    # as the twist unrolled-rank mode, bounding compile time), else
-    # keep the scan.  A/B round 3 (primate K=2048): full unroll cut the
-    # fwd sweep 6.4 -> 5.7 ms and the batch-256 manual step 15.4 ->
-    # 14.8 (scan bookkeeping + cross-rank scheduling freedom).
+    # fused-rank-kernel path for R <= 32, else keep the scan.  A/B
+    # round 3: primate K=2048 fwd 6.4 -> 5.7 ms, batch-256 manual step
+    # 15.4 -> 14.8, GammaSites G=4 K=512 step 17.1 -> 16.7; DS1 (R=26)
+    # fwd 21.5 -> 17.2 and manual full-S step 88.9 -> 77.1 -- and the
+    # unrolled DS1 step COMPILES 14x faster (52 vs 712 s: XLA's scan
+    # handling, not the straight-line length, dominates compile).  The
+    # R cap keeps compile bounded for many-taxa datasets; explicit
+    # unroll=1 restores the scan.
     unroll: Optional[int] = None
     # manual whole-sweep VJP (smc.sweep_vjp): the reverse pass
     # re-gathers children from the final write-once message buffer and
@@ -1047,7 +1050,7 @@ def _sample_body(key, leaves, model, params, config, *,
         step_fn = jax.checkpoint(step) if config.remat else step
         unroll = config.unroll
         if unroll is None:
-            unroll = n_ranks if (fused_rank and n_ranks <= 12) else 1
+            unroll = n_ranks if (fused_rank and n_ranks <= 32) else 1
         elif unroll == 0:
             unroll = n_ranks
         final, outs = lax.scan(step_fn, init, xs, unroll=unroll)
