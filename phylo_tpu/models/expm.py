@@ -28,7 +28,36 @@ but we compute mu from the data so textbook GTR matrices work too.
 
 from __future__ import annotations
 
+import os as _os
+
+import jax
 import jax.numpy as jnp
+
+# PHYLO_EXPM_KERNEL: "auto" (default) routes eligible f32 TPU calls
+# through the VMEM-resident Pallas chain (models.expm_kernel) whose
+# Frechet-adjoint backward is ~2.2x faster than XLA AD of the jnp
+# chain (982 vs 2143 us at the primate/K=2048 presample shape).
+# In-situ fwd+bwd train-step A/B on the real chip (identical losses,
+# gradients equal to ~1e-7 rel): primate/K=2048 fullS 21.4 -> 20.5 ms,
+# b256 15.9 -> 15.1; DS1/K=2048 b256 42.0 -> 40.1; VNCSMC primate
+# K=32 M=10 31.2 -> 27.4; betacorona K=32 M=10 247.7 -> 233.4.
+# "1" forces it, "0" disables.
+_KERNEL_MODE = _os.environ.get("PHYLO_EXPM_KERNEL", "auto")
+
+# Sticky per-process guard: pallas_call has no GSPMD partitioning rule,
+# so the "auto" gate must not engage inside mesh-sharded sweeps (XLA
+# would have to replicate the operands, or fail to partition).  The
+# sweep entry flips this at trace time on its first sharded trace;
+# single-chip processes (bench, trainer without a mesh) never do.
+# PHYLO_EXPM_KERNEL=1 still forces the kernel regardless.
+_SHARDED_TRACE_SEEN = False
+
+
+def notify_sharded_trace():
+    """Called by smc.sweep when tracing with a GSPMD sharding; disables
+    the expm kernel auto-gate for the rest of the process."""
+    global _SHARDED_TRACE_SEEN
+    _SHARDED_TRACE_SEEN = True
 
 
 def jc69_transition(b, A=4):
@@ -76,6 +105,21 @@ def expm_ctmc(Q, b, *, order=12, squarings=12):
     b = jnp.asarray(b)
     A = Q.shape[-1]
     dtype = jnp.result_type(Q.dtype, b.dtype)
+    use_kernel = (
+        _KERNEL_MODE == "1"
+        or (_KERNEL_MODE == "auto"
+            and not _SHARDED_TRACE_SEEN
+            and jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            # the kernel unrolls A^2 entry vectors (Mosaic budget) and
+            # pads the batch to a 512-lane tile
+            and Q.ndim == 2 and A <= 8 and b.size >= 2048)
+    )
+    if use_kernel:
+        from phylo_tpu.models.expm_kernel import expm_ctmc_pallas
+
+        return expm_ctmc_pallas(
+            Q.astype(dtype), b.astype(dtype), order, squarings)
     Q = Q.astype(dtype)
     b = b.astype(dtype)
 

@@ -558,6 +558,13 @@ def _sample_body(key, leaves, model, params, config, *,
             site_weights = jnp.pad(site_weights, (0, Sp - S))
             S = Sp
     if shardings is not None:
+        # pallas_call has no GSPMD rule: permanently drop the expm
+        # Pallas kernel's auto-gate once any sharded sweep is traced
+        # (covers the custom-VJP backward, which traces later, outside
+        # this function's dynamic extent).
+        from phylo_tpu.models import expm as _expm
+
+        _expm.notify_sharded_trace()
         leaves = lax.with_sharding_constraint(leaves, shardings.leaves_sm)
 
     stationary = model.stationary(params["model"]).astype(dtype)
