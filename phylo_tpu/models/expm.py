@@ -45,19 +45,12 @@ import jax.numpy as jnp
 _KERNEL_MODE = _os.environ.get("PHYLO_EXPM_KERNEL", "auto")
 
 # Sticky per-process guard: pallas_call has no GSPMD partitioning rule,
-# so the "auto" gate must not engage inside mesh-sharded sweeps (XLA
-# would have to replicate the operands, or fail to partition).  The
-# sweep entry flips this at trace time on its first sharded trace;
-# single-chip processes (bench, trainer without a mesh) never do.
-# PHYLO_EXPM_KERNEL=1 still forces the kernel regardless.
-_SHARDED_TRACE_SEEN = False
-
-
-def notify_sharded_trace():
-    """Called by smc.sweep when tracing with a GSPMD sharding; disables
-    the expm kernel auto-gate for the rest of the process."""
-    global _SHARDED_TRACE_SEEN
-    _SHARDED_TRACE_SEEN = True
+# so the "auto" gate must not engage inside mesh-sharded sweeps (see
+# utils.pallas_gate).  PHYLO_EXPM_KERNEL=1 still forces the kernel.
+from phylo_tpu.utils.pallas_gate import (  # noqa: F401  (re-export)
+    notify_sharded_trace,
+    sharded_trace_seen as _sharded_trace_seen,
+)
 
 
 def jc69_transition(b, A=4):
@@ -108,7 +101,7 @@ def expm_ctmc(Q, b, *, order=12, squarings=12):
     use_kernel = (
         _KERNEL_MODE == "1"
         or (_KERNEL_MODE == "auto"
-            and not _SHARDED_TRACE_SEEN
+            and not _sharded_trace_seen()
             and jax.default_backend() == "tpu"
             and dtype == jnp.float32
             # the kernel unrolls A^2 entry vectors (Mosaic budget) and

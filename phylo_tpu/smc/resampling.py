@@ -20,6 +20,17 @@ STRATEGIES = ("multinomial", "systematic", "stratified", "none")
 # different random stream.
 MULTINOMIAL_CDF = _os.environ.get("PHYLO_MULTINOMIAL_CDF", "0") == "1"
 
+# PHYLO_RESAMPLE_KERNEL: "auto" draws the multinomial with the
+# hardware-PRNG Pallas kernel (smc.resample_kernel) on unsharded TPU
+# f32 sweeps at K >= 1024 -- same Gumbel-max distribution, the (K, K)
+# field synthesized and reduced entirely in VMEM; "1" forces, "0"
+# keeps jax.random.categorical.  DEFAULT OFF pending on-chip
+# validation (tools/resample_kernel_check.py) and an in-situ sweep
+# A/B -- the chip tunnel went down mid-measurement; two previous
+# challengers to the categorical also lost in situ (see
+# resample_indices' docstring), so this stays opt-in until measured.
+_KERNEL_MODE = _os.environ.get("PHYLO_RESAMPLE_KERNEL", "0")
+
 
 def resample_indices(key, log_weights, strategy="multinomial"):
     """Ancestor indices (K,) for the given per-particle log weights.
@@ -46,6 +57,22 @@ def resample_indices(key, log_weights, strategy="multinomial"):
                                    method="scan_unrolled")
             return jnp.minimum(idx, K - 1).astype(jnp.int32)
         log_norm = log_weights - jax.scipy.special.logsumexp(log_weights)
+        use_kernel = (
+            _KERNEL_MODE == "1"
+            or (_KERNEL_MODE == "auto"
+                and jax.default_backend() == "tpu"
+                and K >= 1024)
+        )
+        if use_kernel:
+            from phylo_tpu.utils.pallas_gate import sharded_trace_seen
+
+            if _KERNEL_MODE == "1" or not sharded_trace_seen():
+                from phylo_tpu.smc.resample_kernel import (
+                    categorical_pallas,
+                )
+
+                return categorical_pallas(
+                    key, log_norm.astype(jnp.float32))
         return jax.random.categorical(key, log_norm, shape=(K,))
     log_norm = log_weights - jnp.max(log_weights)
     cdf = jnp.cumsum(jnp.exp(log_norm))

@@ -113,6 +113,7 @@ def test_sharded_trace_sticky_disables_auto_gate(rng, monkeypatch):
     Pallas kernel (pallas_call has no partitioning rule), while "1"
     still forces it."""
     from phylo_tpu.models import expm_kernel as ek
+    from phylo_tpu.utils import pallas_gate
 
     hits = []
 
@@ -130,7 +131,7 @@ def test_sharded_trace_sticky_disables_auto_gate(rng, monkeypatch):
     monkeypatch.setattr(ek, "expm_ctmc_pallas", spy)
     monkeypatch.setattr(expm.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(expm, "_KERNEL_MODE", "auto")
-    monkeypatch.setattr(expm, "_SHARDED_TRACE_SEEN", False)
+    monkeypatch.setattr(pallas_gate, "_SHARDED_TRACE_SEEN", False)
     Q = _rate_matrix(rng, 4, jnp.float32)
     b = jnp.asarray(rng.uniform(0.05, 2.0, (2048,)), jnp.float32)
 
@@ -138,7 +139,7 @@ def test_sharded_trace_sticky_disables_auto_gate(rng, monkeypatch):
     assert hits == [1]                       # gate engages pre-notify
 
     expm.notify_sharded_trace()
-    assert expm._SHARDED_TRACE_SEEN
+    assert pallas_gate.sharded_trace_seen()
     expm_ctmc(Q, b)
     assert hits == [1]                       # auto gate now dark
     monkeypatch.setattr(expm, "_KERNEL_MODE", "1")

@@ -82,3 +82,44 @@ def test_cdf_schemes_never_return_out_of_range_indices():
                                    strategy)
             assert int(jnp.max(idx)) < K
             assert int(jnp.min(idx)) >= 0
+
+
+def test_resample_kernel_auto_gate(monkeypatch):
+    """The hardware-PRNG multinomial kernel engages only on unsharded
+    TPU traces at K >= 1024; "0" disables, "1" forces (pltpu has no
+    CPU lowering, so the spy stands in for the real pallas_call)."""
+    from phylo_tpu.smc import resampling
+    from phylo_tpu.smc import resample_kernel as rk
+    from phylo_tpu.utils import pallas_gate
+
+    hits = []
+
+    def spy(key, logits):
+        hits.append(logits.shape[0])
+        return jnp.zeros((logits.shape[0],), jnp.int32)
+
+    monkeypatch.setattr(rk, "categorical_pallas", spy)
+    monkeypatch.setattr(resampling.jax, "default_backend",
+                        lambda: "tpu")
+    monkeypatch.setattr(resampling, "_KERNEL_MODE", "auto")
+    monkeypatch.setattr(pallas_gate, "_SHARDED_TRACE_SEEN", False)
+
+    lw = jax.random.normal(jax.random.PRNGKey(0), (2048,), jnp.float32)
+    resample_indices(jax.random.PRNGKey(1), lw, "multinomial")
+    assert hits == [2048]                     # engages at K=2048
+
+    resample_indices(jax.random.PRNGKey(1), lw[:512], "multinomial")
+    assert hits == [2048]                     # K < 1024: jax path
+
+    pallas_gate.notify_sharded_trace()
+    resample_indices(jax.random.PRNGKey(1), lw, "multinomial")
+    assert hits == [2048]                     # sharded trace: dark
+
+    monkeypatch.setattr(resampling, "_KERNEL_MODE", "1")
+    resample_indices(jax.random.PRNGKey(1), lw, "multinomial")
+    assert hits == [2048, 2048]               # "1" still forces
+
+    monkeypatch.setattr(pallas_gate, "_SHARDED_TRACE_SEEN", False)
+    monkeypatch.setattr(resampling, "_KERNEL_MODE", "0")
+    resample_indices(jax.random.PRNGKey(1), lw, "multinomial")
+    assert hits == [2048, 2048]               # "0" disables
