@@ -9,6 +9,14 @@ imports the real implementation (runner.py:200 imports the missing
 ``vcsmc_jet``), and there is no silently-on ginkgo default
 (runner.py:77).
 
+Progress reporting is PER-EPOCH only (ELBO, log_lik_R, wall time, and
+-- behind ``log_every`` -- the learned Q/stationary/rates, matching
+the reference's per-epoch dump at vcsmc.py:565-575).  The reference's
+per-STEP tqdm bars (vcsmc.py:529-532) have no analogue here by
+design: each epoch's minibatch SGD steps run as ONE fused device-side
+``lax.scan`` (train/trainer.py), so there is no host-visible per-step
+boundary to report.
+
 Usage:
     python -m phylo_tpu.cli.runner --dataset=primate_data \
         --n_particles=128 --num_epoch=100 --batch_size=256
