@@ -368,6 +368,23 @@ def main():
                     "BENCH_DETAILS.json")
     args = ap.parse_args()
 
+    # A wedged TPU tunnel makes jax.devices() HANG rather than error;
+    # fail fast with a diagnostic instead of hanging the caller
+    # (same probe as __graft_entry__._probe_device_count).
+    import threading
+
+    probe = []
+    t = threading.Thread(
+        target=lambda: probe.append(len(__import__("jax").devices())),
+        daemon=True,
+    )
+    t.start()
+    t.join(180.0)
+    if not probe:
+        print("bench.py: backend init did not complete within 180s "
+              "(TPU tunnel down?) -- aborting", file=sys.stderr)
+        sys.exit(1)
+
     if args.details:
         details = measure_details()
         for k, v in details.items():
