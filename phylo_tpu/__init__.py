@@ -28,5 +28,8 @@ from phylo_tpu.models.substitution import (  # noqa: F401
     get_model,
 )
 from phylo_tpu.models.branches import init_branch_params  # noqa: F401
-from phylo_tpu.dataio.datasets import load_dataset  # noqa: F401
+from phylo_tpu.dataio.datasets import (  # noqa: F401
+    dataset_from_arrays,
+    load_dataset,
+)
 from phylo_tpu.train.trainer import TrainConfig, train  # noqa: F401

@@ -9,6 +9,7 @@ from phylo_tpu.dataio.datasets import (  # noqa: F401
     PhyloDataset,
     detect_alphabet,
     load_dataset,
+    dataset_from_arrays,
     dataset_from_strings,
     simulate_dna,
     list_datasets,

@@ -82,6 +82,49 @@ def dataset_from_strings(strings, taxa=None, name="strings",
     return PhyloDataset(name=name, taxa=list(taxa), genome=genome)
 
 
+def dataset_from_arrays(genome, taxa=None, name="arrays"):
+    """Wrap a reference-style ``datadict`` payload — an (N, S, A)
+    one-hot genome array plus taxon names (reference vcsmc.py:104-108)
+    — as a :class:`PhyloDataset`, the migration path for users carrying
+    the reference's pickled dicts (e.g. the betacoronavirus sets).
+
+    Accepts the reference's quirks, exactly as `load_dataset` does for
+    the shipped pickles: a ``{'taxa': ..., 'genome': ...}`` (or
+    ``'gemome'``, sic — betacorona2.p) dict passed as ``genome``, taxa
+    wrapped in a 1-tuple (betacorona pickles), a taxa count that does
+    not match N (betacorona1.p ships 16 names for 17 genomes —
+    replaced with generated names), and all-zero observation rows
+    (spikeGP.p — treated as missing data, the '-'/'?' all-ones
+    convention of runner.py:91-96)."""
+    if isinstance(genome, dict):
+        d = genome
+        genome = d.get("genome", d.get("gemome"))
+        if genome is None:
+            raise ValueError(
+                "dict has neither a 'genome' nor a 'gemome' key"
+            )
+        if taxa is None:
+            taxa = d.get("taxa")
+    genome = np.asarray(genome, dtype=np.float64)
+    if genome.ndim != 3:
+        raise ValueError(
+            f"genome must be one-hot (N, S, A); got shape {genome.shape}"
+        )
+    N = genome.shape[0]
+    taxa = list(taxa) if taxa is not None else []
+    if len(taxa) == 1 and isinstance(taxa[0], (list, tuple)):
+        taxa = list(taxa[0])    # reference one-tuple wrapping
+    if len(taxa) != N:
+        taxa = [f"S{i}" for i in range(N)]
+    zero_rows = genome.sum(axis=-1) == 0
+    if zero_rows.any():
+        genome = genome.copy()
+        genome[zero_rows] = 1.0
+    return PhyloDataset(
+        name=name, taxa=[str(t) for t in taxa], genome=genome
+    )
+
+
 def simulate_dna(n_taxa, seq_length, seed=0, alphabet=DNA_ALPHABET):
     """Random iid one-hot genomes (reference `simulateDNA`,
     runner.py:100-104) with a controllable seed."""
@@ -182,27 +225,16 @@ def _load_hohna(root, idx):
     return _taxa_dict_dataset(f"hohna_data_{idx}", raw)
 
 
-def _load_onehot_dict(root, name, relpath, genome_key="genome"):
-    raw = _read_pickle(os.path.join(root, relpath))
-    # betacorona2.p spells the key 'gemome' (sic)
-    if genome_key not in raw and "gemome" in raw:
-        genome_key = "gemome"
-    taxa = list(raw["taxa"])
-    if len(taxa) == 1 and isinstance(taxa[0], (list, tuple)):
-        taxa = list(taxa[0])
-    genome = np.asarray(raw[genome_key], dtype=np.float64)
-    if len(taxa) != genome.shape[0]:
-        # betacorona1.p ships 16 taxon names for 17 genomes; fall back to
-        # generated names rather than shipping a broken dataset
-        taxa = [f"S{i}" for i in range(genome.shape[0])]
-    # spikeGP.p ships all-zero rows (no observation); a zero row makes the
-    # site likelihood exactly 0 (log -> -inf).  Treat them as missing data
-    # (all-ones), the same convention as '-'/'?' (runner.py:91-96).
-    zero_rows = genome.sum(axis=-1) == 0
-    if zero_rows.any():
-        genome = genome.copy()
-        genome[zero_rows] = 1.0
-    return PhyloDataset(name=name, taxa=[str(t) for t in taxa], genome=genome)
+def _load_onehot_dict(root, name, relpath):
+    # dataset_from_arrays absorbs the reference pickle quirks: the
+    # 'gemome' (sic) key of betacorona2.p, one-tuple-wrapped taxa, the
+    # 16-names-for-17-genomes mismatch of betacorona1.p (generated
+    # names), and spikeGP.p's all-zero observation rows (missing-data
+    # all-ones, the '-'/'?' convention of runner.py:91-96 -- a zero row
+    # would make the site likelihood exactly 0, log -> -inf).
+    return dataset_from_arrays(
+        _read_pickle(os.path.join(root, relpath)), name=name
+    )
 
 
 _MISSING = {

@@ -3,10 +3,37 @@ import pytest
 
 from phylo_tpu.dataio import (
     encode_strings,
+    dataset_from_arrays,
     dataset_from_strings,
     load_dataset,
     simulate_dna,
 )
+
+
+def test_dataset_from_arrays_plain():
+    g = np.eye(4)[np.random.default_rng(0).integers(0, 4, (3, 7))]
+    ds = dataset_from_arrays(g, taxa=["a", "b", "c"], name="mine")
+    assert (ds.N, ds.S, ds.A) == (3, 7, 4)
+    assert ds.taxa == ["a", "b", "c"] and ds.name == "mine"
+    np.testing.assert_array_equal(ds.genome, g)
+
+
+def test_dataset_from_arrays_reference_datadict_quirks():
+    # 'gemome' (sic) key, one-tuple-wrapped taxa (betacorona pickles),
+    # and an all-zero observation row (spikeGP.p) -> missing-data ones
+    g = np.eye(4)[[[0, 1], [2, 3]]].astype(float)
+    g[1, 0] = 0.0
+    ds = dataset_from_arrays({"gemome": g, "taxa": (["x", "y"],)})
+    assert ds.taxa == ["x", "y"]
+    np.testing.assert_array_equal(ds.genome[1, 0], np.ones(4))
+    np.testing.assert_array_equal(ds.genome[0], g[0])
+    # taxa-count mismatch (betacorona1.p): generated names
+    ds2 = dataset_from_arrays({"genome": g, "taxa": ["only_one"]})
+    assert ds2.taxa == ["S0", "S1"]
+    with pytest.raises(ValueError):
+        dataset_from_arrays({"taxa": ["x"]})
+    with pytest.raises(ValueError):
+        dataset_from_arrays(np.zeros((2, 3)))
 
 
 def test_encode_strings_one_hot():
