@@ -298,58 +298,68 @@ def _twist_messages_bwd_unrolled(key, aux, model, params, config, pi,
     for r in range(R):
         n_active = N - r
         Pv = (n_active * (n_active - 1)) // 2
-        pc = jnp.asarray(pairs_pref[:Pv])              # (Pv, 2)
-        pos = jnp.broadcast_to(
-            pc.T.reshape(-1)[None], (K, 2 * Pv)
-        )                                              # [i..., j...]
-        nodes = _take_positions(slot_t[r], pos)        # (K, 2Pv)
-        is_leaf = nodes < N
-        q = jnp.clip(nodes - N, 0, R - 1)
-        rows = _take_positions(rows_t[r], q)
-        brow = jnp.where(is_leaf, own, rows)
-        msgs = buf[brow, nodes]                        # (K, 2Pv, A, Sp)
-        m_l = msgs[:, :Pv].reshape(K * Pv, A, Sp)
-        m_r = msgs[:, Pv:].reshape(K * Pv, A, Sp)
-
-        dl = draws_l[r, :Pv]                           # (Pv, M, K)
-        dr = draws_r[r, :Pv]
-        g_flat = jnp.transpose(
-            g_llm[r].astype(dtype), (1, 2, 0)
-        ).reshape(M, K * Pv)
-
-        def f(pm, rl, rr_, ml, mr, pi_, w_, dl=dl, dr=dr, Pv=Pv):
-            bl = dl / rl
-            br = dr / rr_
-            P_lr = model.transition(
-                pm, jnp.concatenate([bl, br])
-            ).astype(dtype)                            # (2Pv, M, K, A, A)
-            P_l = jnp.transpose(
-                P_lr[:Pv], (1, 2, 0, 3, 4)).reshape(M, K * Pv, A, A)
-            P_r = jnp.transpose(
-                P_lr[Pv:], (1, 2, 0, 3, 4)).reshape(M, K * Pv, A, A)
-            return pair_loglik(ml, mr, P_l, P_r, pi_, w_)
-
-        _, vjp = jax.vjp(
-            f, params["model"], rates_l[r], rates_r[r], m_l, m_r,
-            pi, w_vec,
+        # over-budget ranks replay in the same static chunks the
+        # forward used (TwistConfig.static_chunks) so the per-chunk
+        # vjp's gathered (K, 2C, A, Sp) messages and pair_loglik
+        # residuals stay within the memory budget; the last chunk is
+        # simply smaller (static Python slicing, no padding needed)
+        C, _ = config.twist.static_chunks(
+            Pv, M, K, Sp, jnp.dtype(dtype).itemsize
         )
-        dpm, drl_c, drr_c, dml, dmr, dpi_c, dw_c = vjp(g_flat)
+        for c0 in range(0, Pv, C):
+            Cc = min(C, Pv - c0)
+            pc = jnp.asarray(pairs_pref[c0:c0 + Cc])   # (Cc, 2)
+            pos = jnp.broadcast_to(
+                pc.T.reshape(-1)[None], (K, 2 * Cc)
+            )                                          # [i..., j...]
+            nodes = _take_positions(slot_t[r], pos)    # (K, 2Cc)
+            is_leaf = nodes < N
+            q = jnp.clip(nodes - N, 0, R - 1)
+            rows = _take_positions(rows_t[r], q)
+            brow = jnp.where(is_leaf, own, rows)
+            msgs = buf[brow, nodes]                    # (K, 2Cc, A, Sp)
+            m_l = msgs[:, :Cc].reshape(K * Cc, A, Sp)
+            m_r = msgs[:, Cc:].reshape(K * Cc, A, Sp)
 
-        dmodel = jax.tree.map(jnp.add, dmodel, dpm)
-        drl = drl.at[r].add(drl_c)
-        drr = drr.at[r].add(drr_c)
-        dpi_acc = dpi_acc + dpi_c
-        if data_grads:
-            dw = dw + dw_c
-        for dm, sl in ((dml, slice(None, Pv)), (dmr, slice(Pv, None))):
-            dm = dm.reshape(K, Pv, A, Sp)
-            nd = nodes[:, sl]
-            lf = is_leaf[:, sl]
+            dl = draws_l[r, c0:c0 + Cc]                # (Cc, M, K)
+            dr = draws_r[r, c0:c0 + Cc]
+            g_flat = jnp.transpose(
+                g_llm[r][c0:c0 + Cc].astype(dtype), (1, 2, 0)
+            ).reshape(M, K * Cc)
+
+            def f(pm, rl, rr_, ml, mr, pi_, w_, dl=dl, dr=dr, Cc=Cc):
+                bl = dl / rl
+                br = dr / rr_
+                P_lr = model.transition(
+                    pm, jnp.concatenate([bl, br])
+                ).astype(dtype)                        # (2Cc, M, K, A, A)
+                P_l = jnp.transpose(
+                    P_lr[:Cc], (1, 2, 0, 3, 4)).reshape(M, K * Cc, A, A)
+                P_r = jnp.transpose(
+                    P_lr[Cc:], (1, 2, 0, 3, 4)).reshape(M, K * Cc, A, A)
+                return pair_loglik(ml, mr, P_l, P_r, pi_, w_)
+
+            _, vjp = jax.vjp(
+                f, params["model"], rates_l[r], rates_r[r], m_l, m_r,
+                pi, w_vec,
+            )
+            dpm, drl_c, drr_c, dml, dmr, dpi_c, dw_c = vjp(g_flat)
+
+            dmodel = jax.tree.map(jnp.add, dmodel, dpm)
+            drl = drl.at[r].add(drl_c)
+            drr = drr.at[r].add(drr_c)
+            dpi_acc = dpi_acc + dpi_c
             if data_grads:
-                idl = jnp.where(lf, nd, N)
-                dleaves = dleaves.at[idl].add(dm, mode="drop")
-            qd = jnp.where(lf, R, nd - N)
-            pending = pending.at[rows[:, sl], qd].add(dm, mode="drop")
+                dw = dw + dw_c
+            for dm, sl in ((dml, slice(None, Cc)), (dmr, slice(Cc, None))):
+                dm = dm.reshape(K, Cc, A, Sp)
+                nd = nodes[:, sl]
+                lf = is_leaf[:, sl]
+                if data_grads:
+                    idl = jnp.where(lf, nd, N)
+                    dleaves = dleaves.at[idl].add(dm, mode="drop")
+                qd = jnp.where(lf, R, nd - N)
+                pending = pending.at[rows[:, sl], qd].add(dm, mode="drop")
 
     (dbranches,) = vjp_rates((drl, drr))
     dparams_tw = dict(model=dmodel, branches=dbranches)

@@ -103,14 +103,38 @@ class TwistConfig:
     # chunk size is a request for the chunked scan enumeration.
     unroll_max_ranks: int = 12
     unroll_budget_mb: int = 256
+    # CHUNKED unrolled-rank mode: unroll the rank loop even when the
+    # per-rank enumeration exceeds unroll_budget_mb, chunking each
+    # rank's truncated pair table with a STATIC chunk count of
+    # ceil(C(N-r, 2) / C) -- no masking, no per-chunk lax.cond (the
+    # scanned path pays one cond per chunk slot and pads every rank to
+    # the full C(N, 2) chunk grid).  This extends the static-truncation
+    # win to compute-bound configs like betacorona (N=17, 580 MB
+    # enumeration).  0 disables (default until the in-situ TPU A/B
+    # lands -- tools/twist_probe3.py); raise to e.g. 24 to enable for
+    # R = N-1 <= that cap.  Applies under the same conditions as the
+    # plain unrolled mode (decisions/shardings None, pair_chunk unset).
+    unroll_chunked_max_ranks: int = 0
 
     def unrolled(self, N, M, K, S, itemsize):
         if self.pair_chunk is not None:
             return False
         P = (N * (N - 1)) // 2
-        return (N - 1 <= self.unroll_max_ranks
+        if (N - 1 <= self.unroll_max_ranks
                 and P * M * K * S * itemsize
-                <= self.unroll_budget_mb * 2**20)
+                <= self.unroll_budget_mb * 2**20):
+            return True
+        return N - 1 <= self.unroll_chunked_max_ranks
+
+    def static_chunks(self, Pv, M, K, S, itemsize):
+        """Chunking decision for one unrolled rank's truncated
+        enumeration (Pv = C(n_active, 2) pairs): returns (C, n_chunks),
+        with n_chunks=1 meaning evaluate the rank as a single batch.
+        Reuses the measured resolve_chunk cost model."""
+        if Pv * M * K * S * itemsize <= self.unroll_budget_mb * 2**20:
+            return Pv, 1
+        C = self.resolve_chunk(Pv, M, K, S, itemsize)
+        return C, -(-Pv // C)
 
     def resolve_chunk(self, P, M, K, S, itemsize):
         C = self.pair_chunk
@@ -384,9 +408,11 @@ def _twisted_extend_static(key, config, model, params, stationary,
     Unrolled-rank mode (TwistConfig.unroll_max_ranks): the pair table is
     the first C(n_active, 2) entries of the prefix-ordered enumeration
     -- every pair valid by construction -- so the whole rank is one
-    un-masked, un-chunked batch and the sweep pays no wasted compute at
-    late ranks (a lax.scan body must evaluate all C(N, 2) pairs every
-    rank).  Pools in `dec` are prefix-ordered; the flat choice index is
+    un-masked batch and the sweep pays no wasted compute at late ranks
+    (a lax.scan body must evaluate all C(N, 2) pairs every rank).
+    Ranks whose enumeration exceeds unroll_budget_mb split into a
+    STATIC chunk count (TwistConfig.static_chunks /
+    unroll_chunked_max_ranks) -- still no masking or lax.cond.  Pools in `dec` are prefix-ordered; the flat choice index is
     in PREFIX-flat convention (pair_prefix * M + m) and is only ever
     consumed by code on this same path (the scalar replay and the
     manual twist reverse pass), so reference parity is unaffected: the
@@ -413,44 +439,45 @@ def _twisted_extend_static(key, config, model, params, stationary,
         pool_P_l = pool_P_r = None
         have_P = False
     else:
-        from phylo_tpu.pruning.kernels import pair_loglik
-        from phylo_tpu.smc.sweep import _node_lookup
-
         if have_P:
             pool_P_l = dec["twist_P_l"][:Pv].astype(dtype)
             pool_P_r = dec["twist_P_r"][:Pv].astype(dtype)
+        # Over-budget ranks split into a STATIC count of
+        # ceil(Pv / C) chunks (TwistConfig.unroll_chunked_max_ranks):
+        # unlike the scanned path there is no per-chunk lax.cond, no
+        # full-C(N,2) chunk grid, and only the last chunk's tail is
+        # padded (sliced off below, so no masking either).
+        C, n_c = twist.static_chunks(
+            Pv, M, K, S, jnp.dtype(dtype).itemsize
+        )
+        chunk_fn = _make_chunk_ll(
+            config, model, params, stationary, leaves, slot,
+            row_of_node, internal_msgs, internal_logscale,
+            site_weights, C, have_P,
+        )
+        if twist.remat:
+            chunk_fn = jax.checkpoint(chunk_fn)
+        xs = (pairs, pool_l, pool_r)
+        if have_P:
+            xs = xs + (pool_P_l, pool_P_r)
+        if n_c == 1:
+            ll = chunk_fn(xs)                                # (Pv, M, K)
+        else:
+            pad = n_c * C - Pv
 
-        def enum_ll(model_params, pool_l, pool_r, internal_msgs):
-            pos = pairs.T.reshape(-1)                        # (2Pv,)
-            nodes = jnp.take(slot, pos, axis=1)              # (K, 2Pv)
-            msgs, _ = _node_lookup(
-                leaves, internal_msgs, internal_logscale, row_of_node,
-                nodes, unified=config.replicate_leaves,
-            )                                                # (K,2Pv,A,S)
-            m_l = msgs[:, :Pv].reshape(K * Pv, A, S)
-            m_r = msgs[:, Pv:].reshape(K * Pv, A, S)
-            if have_P:
-                P_l = jnp.transpose(
-                    pool_P_l, (1, 2, 0, 3, 4)).reshape(M, K * Pv, A, A)
-                P_r = jnp.transpose(
-                    pool_P_r, (1, 2, 0, 3, 4)).reshape(M, K * Pv, A, A)
-            else:
-                P_lr = model.transition(
-                    model_params, jnp.concatenate([pool_l, pool_r])
-                ).astype(dtype)                      # (2Pv, M, K, A, A)
-                P_l = jnp.transpose(
-                    P_lr[:Pv], (1, 2, 0, 3, 4)).reshape(M, K * Pv, A, A)
-                P_r = jnp.transpose(
-                    P_lr[Pv:], (1, 2, 0, 3, 4)).reshape(M, K * Pv, A, A)
-            w_vec = (site_weights if site_weights is not None
-                     else jnp.ones((S,), dtype))
-            ll_m = pair_loglik(
-                m_l, m_r, P_l, P_r, stationary, w_vec
-            ).reshape(M, K, Pv)
-            return jnp.transpose(ll_m, (2, 0, 1))            # (Pv, M, K)
+            def padc(x):
+                # pad pairs with (0, 0) and pools with ones: finite
+                # garbage values on positions that exist, sliced off
+                # below (never -inf/NaN, which could poison gradients)
+                fill = 0 if x.dtype == jnp.int32 else 1.0
+                tail = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+                return jnp.concatenate([x, tail]).reshape(
+                    (n_c, C) + x.shape[1:]
+                )
 
-        enum_fn = jax.checkpoint(enum_ll) if twist.remat else enum_ll
-        ll = enum_fn(params["model"], pool_l, pool_r, internal_msgs)
+            ll = lax.map(chunk_fn, jax.tree.map(padc, xs)).reshape(
+                n_c * C, M, K
+            )[:Pv]
 
     terms = _pot_terms(
         pairs, slot, leaf_counts, row_of_node, internal_logscale,
@@ -481,71 +508,31 @@ def _twisted_extend_static(key, config, model, params, stationary,
     return p1, p2, b_l, b_r, P_l_chosen, P_r_chosen, q_pen, ll, idx
 
 
-def _twist_ll_lex(config, model, params, stationary, leaves, slot,
-                  row_of_node, internal_msgs, internal_logscale, dec,
-                  pairs, pool_l, pool_r, n_active, site_weights):
-    """Chunked pair-merge data log-likelihood enumeration, (P, M, K) in
-    LEXICOGRAPHIC pair order.  Returns (ll_lex, pool_P_l, pool_P_r);
-    the pools are the presampled transition tensors when available
-    (None otherwise)."""
-    twist = config.twist
-    M = twist.M
-    N, A, S = leaves.shape
-    K = config.K
-    dtype = leaves.dtype
-    P = pairs.shape[0]
-    have_P = "twist_P_l" in dec
+def _make_chunk_ll(config, model, params, stationary, leaves, slot,
+                   row_of_node, internal_msgs, internal_logscale,
+                   site_weights, C, have_P):
+    """Build the one-chunk pair-merge log-likelihood evaluator shared
+    by the scanned enumeration (_twist_ll_lex) and the chunked
+    unrolled-rank mode (_twisted_extend_static): xs -> (C, M, K).
+
+    xs is (pairs (C, 2), pool_l (C, M, K), pool_r (C, M, K))
+    [+ (P_l, P_r) (C, M, K, A, A) when the pool expm was presampled].
+
+    Flat batch layout is K-major (k * C + c): the gathered
+    (K, 2C, A, S) message block reshapes into the kernel's flat
+    particle axis for FREE, where a C-major layout paid two (C K A S)
+    physical transposes per chunk, forward and backward (xprof round
+    3).  Only the small (C, M, K, A, A) transition tensors get
+    transposed.
+    """
     from phylo_tpu.smc.sweep import _node_lookup
 
-    # Enumerate in PREFIX order (valid pairs first -- see _prefix_order)
-    # so whole chunks can be skipped at late ranks; the external pair
-    # indexing (pools, potentials, the categorical's flat index) stays
-    # lexicographic for reference parity.
-    order_np, inverse_np = _prefix_order(N)
-    order = jnp.asarray(order_np)
-    n_valid = (n_active * (n_active - 1)) // 2          # traced
-
-    # Chunk the pair axis for memory, processing each chunk as ONE flat
-    # (chunk*K)-particle batch.  The left/right posteriors come FREE
-    # from the carried per-root tables:
-    # ll_scaled(pos) = root_ll(pos) - node_logscale(node at pos), so no
-    # per-pair site reductions are needed for them at all (the reference
-    # recomputes both on tiled M*K batches, vncsmc.py:363-365).
-    C = twist.resolve_chunk(P, M, K, S, jnp.dtype(dtype).itemsize)
-    P_pad = -(-P // C) * C
-    pad_p = P_pad - P
-    n_chunks = P_pad // C
-    pairs_pad = jnp.concatenate(
-        [pairs[order], jnp.zeros((pad_p, 2), jnp.int32)]
-    ).reshape(n_chunks, C, 2)
-    pool_l_pad = jnp.concatenate(
-        [pool_l[order], jnp.ones((pad_p, M, K), dtype)]
-    ).reshape(n_chunks, C, M, K)
-    pool_r_pad = jnp.concatenate(
-        [pool_r[order], jnp.ones((pad_p, M, K), dtype)]
-    ).reshape(n_chunks, C, M, K)
-    xs_chunks = (pairs_pad, pool_l_pad, pool_r_pad)
-    if have_P:
-        pool_P_l = dec["twist_P_l"].astype(dtype)      # (P, M, K, A, A)
-        pool_P_r = dec["twist_P_r"].astype(dtype)
-        pad_P = jnp.ones((pad_p, M, K, A, A), dtype)
-        xs_chunks = xs_chunks + (
-            jnp.concatenate([pool_P_l[order], pad_P]).reshape(
-                n_chunks, C, M, K, A, A),
-            jnp.concatenate([pool_P_r[order], pad_P]).reshape(
-                n_chunks, C, M, K, A, A),
-        )
+    twist = config.twist
+    M, K = twist.M, config.K
+    N, A, S = leaves.shape
+    dtype = leaves.dtype
 
     def chunk_potentials(xs):
-        """Pair-merge data log-likelihoods for one chunk, (C, M, K).
-
-        Flat batch layout is K-major (k * C + c): the gathered
-        (K, 2C, A, S) message block reshapes into the kernel's flat
-        particle axis for FREE, where the previous C-major layout paid
-        two (C K A S) physical transposes per chunk, forward and
-        backward (xprof round 3).  Only the small (C, M, K, A, A)
-        transition tensors get transposed.
-        """
         if have_P:
             pc, bl, br, cP_l, cP_r = xs
         else:
@@ -595,6 +582,67 @@ def _twist_ll_lex(config, model, params, stationary, leaves, slot,
 
         return jnp.transpose(ll_m, (2, 0, 1))            # (C, M, K)
 
+    return chunk_potentials
+
+
+def _twist_ll_lex(config, model, params, stationary, leaves, slot,
+                  row_of_node, internal_msgs, internal_logscale, dec,
+                  pairs, pool_l, pool_r, n_active, site_weights):
+    """Chunked pair-merge data log-likelihood enumeration, (P, M, K) in
+    LEXICOGRAPHIC pair order.  Returns (ll_lex, pool_P_l, pool_P_r);
+    the pools are the presampled transition tensors when available
+    (None otherwise)."""
+    twist = config.twist
+    M = twist.M
+    N, A, S = leaves.shape
+    K = config.K
+    dtype = leaves.dtype
+    P = pairs.shape[0]
+    have_P = "twist_P_l" in dec
+
+    # Enumerate in PREFIX order (valid pairs first -- see _prefix_order)
+    # so whole chunks can be skipped at late ranks; the external pair
+    # indexing (pools, potentials, the categorical's flat index) stays
+    # lexicographic for reference parity.
+    order_np, inverse_np = _prefix_order(N)
+    order = jnp.asarray(order_np)
+    n_valid = (n_active * (n_active - 1)) // 2          # traced
+
+    # Chunk the pair axis for memory, processing each chunk as ONE flat
+    # (chunk*K)-particle batch.  The left/right posteriors come FREE
+    # from the carried per-root tables:
+    # ll_scaled(pos) = root_ll(pos) - node_logscale(node at pos), so no
+    # per-pair site reductions are needed for them at all (the reference
+    # recomputes both on tiled M*K batches, vncsmc.py:363-365).
+    C = twist.resolve_chunk(P, M, K, S, jnp.dtype(dtype).itemsize)
+    P_pad = -(-P // C) * C
+    pad_p = P_pad - P
+    n_chunks = P_pad // C
+    pairs_pad = jnp.concatenate(
+        [pairs[order], jnp.zeros((pad_p, 2), jnp.int32)]
+    ).reshape(n_chunks, C, 2)
+    pool_l_pad = jnp.concatenate(
+        [pool_l[order], jnp.ones((pad_p, M, K), dtype)]
+    ).reshape(n_chunks, C, M, K)
+    pool_r_pad = jnp.concatenate(
+        [pool_r[order], jnp.ones((pad_p, M, K), dtype)]
+    ).reshape(n_chunks, C, M, K)
+    xs_chunks = (pairs_pad, pool_l_pad, pool_r_pad)
+    if have_P:
+        pool_P_l = dec["twist_P_l"].astype(dtype)      # (P, M, K, A, A)
+        pool_P_r = dec["twist_P_r"].astype(dtype)
+        pad_P = jnp.ones((pad_p, M, K, A, A), dtype)
+        xs_chunks = xs_chunks + (
+            jnp.concatenate([pool_P_l[order], pad_P]).reshape(
+                n_chunks, C, M, K, A, A),
+            jnp.concatenate([pool_P_r[order], pad_P]).reshape(
+                n_chunks, C, M, K, A, A),
+        )
+
+    chunk_potentials = _make_chunk_ll(
+        config, model, params, stationary, leaves, slot, row_of_node,
+        internal_msgs, internal_logscale, site_weights, C, have_P,
+    )
     chunk_fn = (jax.checkpoint(chunk_potentials) if twist.remat
                 else chunk_potentials)
     neg_inf = jnp.asarray(-jnp.inf, dtype=dtype)

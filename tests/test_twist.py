@@ -202,6 +202,49 @@ def test_unrolled_matches_scanned_distribution():
     assert abs(eu.mean() - es.mean()) <= 3.0 * se
 
 
+def test_chunked_unrolled_bit_matches_plain_unrolled():
+    """TwistConfig.unroll_chunked_max_ranks: over-budget ranks evaluate
+    their statically truncated pair table in static chunks.  Chunking
+    only re-partitions the evaluation -- pools, prefix order, and the
+    categorical's logit order are unchanged -- so the same key must
+    yield the IDENTICAL trajectory, ELBO, and gradients as the plain
+    (single-batch) unrolled mode."""
+    ds = dataset_from_strings(STRINGS)
+    model = ReferenceQ(A=4)
+    params = {
+        "model": model.init_params(jnp.float64),
+        "branches": init_branch_params(ds.N, dtype=jnp.float64),
+    }
+    leaves = jnp.asarray(ds.genome, dtype=jnp.float64)
+    cfg_plain = SweepConfig(K=8, twist=TwistConfig(M=2))
+    # budget 0 forces every rank over budget; chunk_budget_mb=0 makes
+    # resolve_chunk pick single-pair chunks (maximal partitioning)
+    cfg_chunk = SweepConfig(
+        K=8,
+        twist=TwistConfig(M=2, unroll_budget_mb=0, chunk_budget_mb=0,
+                          unroll_chunked_max_ranks=16),
+    )
+    key = jax.random.PRNGKey(5)
+
+    def run(cfg):
+        return sample_phylogenies(key, leaves, model, params, cfg)
+
+    res_p, res_c = run(cfg_plain), run(cfg_chunk)
+    np.testing.assert_array_equal(np.asarray(res_p.merged_nodes),
+                                  np.asarray(res_c.merged_nodes))
+    np.testing.assert_allclose(float(res_p.elbo), float(res_c.elbo),
+                               rtol=1e-12)
+
+    def loss(p, cfg):
+        return -sample_phylogenies(key, leaves, model, p, cfg).elbo
+
+    g_p = jax.grad(loss)(params, cfg_plain)
+    g_c = jax.grad(loss)(params, cfg_chunk)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+
+
 def test_twist_gradients_flow():
     ds = dataset_from_strings(STRINGS)
     model = ReferenceQ(A=4)
