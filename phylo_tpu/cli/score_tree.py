@@ -1,0 +1,131 @@
+"""Score a fixed (Newick) tree against an alignment.
+
+Fixed-tree evaluation the reference does not have: compute
+log P(Y | tree, theta) by Felsenstein pruning over a user-supplied
+rooted binary topology, under a named substitution model or the
+trained model of a finished run (its results.p best-epoch Q and
+stationary probabilities), optionally ML-fitting the branch lengths on
+the fixed topology first.
+
+Usage:
+    python -m phylo_tpu.cli.score_tree --dataset=primate_data \
+        --newick=tree.nwk [--run=<run_dir_or_results.p>]
+        [--model=jc69] [--optimize_branches] [--steps=200] [--out=...]
+
+--newick takes a file path or a literal Newick string.  Without
+branch lengths in the tree, --optimize_branches is implied (scoring
+needs lengths).  --out writes the (possibly refitted) tree back as
+Newick with the final lengths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Fixed-tree log-likelihood (Felsenstein pruning)"
+    )
+    p.add_argument("--dataset", required=True,
+                   help="dataset name or alignment file path")
+    p.add_argument("--newick", required=True,
+                   help="Newick file path or literal string")
+    p.add_argument("--run", default=None,
+                   help="run directory or results.p: score under the "
+                        "trained best-epoch Q/stationary (FixedQ)")
+    p.add_argument("--model", default="jc69",
+                   help="substitution model when --run is not given "
+                        "(jc69|reference|gtr|hky; fresh init params)")
+    p.add_argument("--optimize_branches", action="store_true",
+                   help="ML-fit branch lengths on the fixed topology")
+    p.add_argument("--steps", type=int, default=200,
+                   help="optimizer steps for --optimize_branches")
+    p.add_argument("--learning_rate", type=float, default=0.05)
+    p.add_argument("--dtype", default="float64",
+                   choices=["float32", "float64"])
+    p.add_argument("--out", default=None,
+                   help="write the scored tree (final branch lengths) "
+                        "as Newick to this path")
+    return p.parse_args(argv)
+
+
+def _load_run_model(run):
+    """FixedQ from a run's results.p best-epoch parameters."""
+    from phylo_tpu.models.substitution import FixedQ
+
+    path = run
+    if os.path.isdir(path):
+        path = os.path.join(path, "results.p")
+    with open(path, "rb") as f:
+        results = pickle.load(f)
+    best = int(results.get("best_epoch", -1))
+    Q = results["Qmatrices"][best]
+    pi = results["stationary_probs"][best]
+    return FixedQ(Q, stationary=pi)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phylo_tpu.dataio import load_dataset
+    from phylo_tpu.models.branches import init_branch_params
+    from phylo_tpu.models.substitution import get_model
+    from phylo_tpu.pruning.fixed_tree import (
+        optimize_branch_lengths,
+        parse_newick,
+        tree_log_likelihood,
+    )
+    from phylo_tpu.viz.trees import to_newick
+
+    if args.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.dtype(args.dtype)
+
+    ds = load_dataset(args.dataset)
+    text = args.newick
+    if os.path.exists(text):
+        with open(text) as f:
+            text = f.read()
+    taxa, record = parse_newick(text, taxa=list(ds.taxa))
+
+    if args.run:
+        model = _load_run_model(args.run)
+    else:
+        model = get_model(args.model, A=ds.A)
+    params = {"model": model.init_params(dtype),
+              "branches": init_branch_params(ds.N, dtype=dtype)}
+    leaves = jnp.asarray(ds.genome, dtype=dtype)
+
+    branches = record.get("branches")
+    optimize = args.optimize_branches or branches is None
+    if optimize:
+        branches, ll = optimize_branch_lengths(
+            leaves, model, params, record, steps=args.steps,
+            learning_rate=args.learning_rate,
+        )
+        record = dict(record, branches=np.asarray(branches))
+        print(f"optimized branch lengths ({args.steps} steps)")
+    else:
+        ll = tree_log_likelihood(leaves, model, params, record)
+
+    src = args.run or args.model
+    print(f"dataset: {ds.name}  N={ds.N} S={ds.S} A={ds.A}")
+    print(f"model: {src}")
+    print(f"log P(Y | tree, theta) = {float(ll):.6f}")
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(to_newick(taxa, record) + "\n")
+        print(f"tree written to {args.out}")
+    return float(ll)
+
+
+if __name__ == "__main__":
+    main()

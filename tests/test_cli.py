@@ -55,3 +55,38 @@ def test_cli_nested_tiny(tmp_path):
         f"--results_dir={tmp_path}", "--no_artifacts",
     ])
     assert np.isfinite(res.elbo)
+
+
+def test_cli_score_tree(tmp_path):
+    from phylo_tpu.cli.score_tree import main as score_main
+
+    nwk = "((S0:0.1,S1:0.1):0.1,(S2:0.1,S3:0.1):0.1);"
+    out = str(tmp_path / "fit.nwk")
+    # fixed lengths, jc69
+    ll = score_main(["--dataset=load_strings", f"--newick={nwk}",
+                     "--model=jc69"])
+    assert np.isfinite(ll)
+    # no lengths in the tree -> branch optimization implied; refit ll
+    # must beat the fixed-length score of the same topology
+    ll2 = score_main(["--dataset=load_strings",
+                      "--newick=((S0,S1),(S2,S3));",
+                      "--model=jc69", "--steps=80", f"--out={out}"])
+    assert ll2 > ll
+    # the written tree re-scores to the same value
+    ll3 = score_main(["--dataset=load_strings", f"--newick={out}",
+                      "--model=jc69"])
+    np.testing.assert_allclose(ll3, ll2, rtol=1e-6)
+
+
+def test_cli_score_tree_from_run(tmp_path):
+    from phylo_tpu.cli.score_tree import main as score_main
+
+    res = main([
+        "--dataset=load_strings", "--n_particles=4", "--num_epoch=1",
+        "--batch_size=10", "--dtype=float64",
+        f"--results_dir={tmp_path}",
+    ])
+    ll = score_main(["--dataset=load_strings",
+                     "--newick=((S0:0.1,S1:0.1):0.1,(S2:0.1,S3:0.1):0.1);",
+                     f"--run={res.save_dir}"])
+    assert np.isfinite(ll)
