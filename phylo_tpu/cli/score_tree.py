@@ -46,6 +46,9 @@ def parse_args(argv=None):
     p.add_argument("--learning_rate", type=float, default=0.05)
     p.add_argument("--dtype", default="float64",
                    choices=["float32", "float64"])
+    p.add_argument("--clamp_negative", action="store_true",
+                   help="clamp negative branch lengths (common in NJ "
+                        "trees) to 0 instead of rejecting them")
     p.add_argument("--out", default=None,
                    help="write the scored tree (final branch lengths) "
                         "as Newick to this path")
@@ -74,7 +77,6 @@ def main(argv=None):
     import numpy as np
 
     from phylo_tpu.dataio import load_dataset
-    from phylo_tpu.models.branches import init_branch_params
     from phylo_tpu.models.substitution import get_model
     from phylo_tpu.pruning.fixed_tree import (
         optimize_branch_lengths,
@@ -94,15 +96,30 @@ def main(argv=None):
     if os.path.exists(text):
         with open(text) as f:
             text = f.read()
-    taxa, record = parse_newick(text, taxa=list(ds.taxa))
+    taxa, record = parse_newick(text, taxa=list(ds.taxa),
+                                clamp_negative=args.clamp_negative)
 
+    genome = np.asarray(ds.genome)
     if args.run:
         model = _load_run_model(args.run)
+        if model.A != ds.A:
+            # gamma runs save the product-space Q' (G*A x G*A); the
+            # observation is category-independent, so tiling the leaf
+            # codes across the G blocks scores the exact Gamma-mixture
+            # likelihood (models.substitution.GammaSites.expand_leaves)
+            G, rem = divmod(model.A, ds.A)
+            if rem != 0:
+                raise ValueError(
+                    f"run model has A={model.A} states but the dataset "
+                    f"has A={ds.A}; they are incompatible"
+                )
+            genome = np.tile(genome, (1, 1, G))
     else:
         model = get_model(args.model, A=ds.A)
-    params = {"model": model.init_params(dtype),
-              "branches": init_branch_params(ds.N, dtype=dtype)}
-    leaves = jnp.asarray(ds.genome, dtype=dtype)
+    # only params['model'] participates in fixed-tree scoring (branch
+    # lengths come from the record / the ML fit)
+    params = {"model": model.init_params(dtype)}
+    leaves = jnp.asarray(genome, dtype=dtype)
 
     branches = record.get("branches")
     optimize = args.optimize_branches or branches is None

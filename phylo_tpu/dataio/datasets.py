@@ -96,6 +96,7 @@ def dataset_from_arrays(genome, taxa=None, name="arrays"):
     replaced with generated names), and all-zero observation rows
     (spikeGP.p — treated as missing data, the '-'/'?' all-ones
     convention of runner.py:91-96)."""
+    user_taxa = taxa is not None
     if isinstance(genome, dict):
         d = genome
         genome = d.get("genome", d.get("gemome"))
@@ -115,6 +116,14 @@ def dataset_from_arrays(genome, taxa=None, name="arrays"):
     if len(taxa) == 1 and isinstance(taxa[0], (list, tuple)):
         taxa = list(taxa[0])    # reference one-tuple wrapping
     if len(taxa) != N:
+        # name-count mismatches inside the reference's own pickles
+        # (betacorona1.p: 16 names, 17 genomes) fall back to generated
+        # names; an EXPLICIT taxa argument that mismatches is a caller
+        # bug and must not be silently discarded
+        if user_taxa and taxa:
+            raise ValueError(
+                f"taxa has {len(taxa)} names for {N} genomes"
+            )
         taxa = [f"S{i}" for i in range(N)]
     zero_rows = genome.sum(axis=-1) == 0
     if zero_rows.any():

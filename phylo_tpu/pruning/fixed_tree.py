@@ -35,7 +35,21 @@ from phylo_tpu.pruning.felsenstein import (
 )
 
 
-def parse_newick(text, taxa=None):
+def _strip_ws(text):
+    """Drop whitespace outside quoted labels (the Newick format allows
+    line breaks / indentation between tokens — FigTree and hand-edited
+    exports use them)."""
+    out = []
+    in_quote = False
+    for ch in text:
+        if ch == "'":
+            in_quote = not in_quote
+        if in_quote or not ch.isspace():
+            out.append(ch)
+    return "".join(out)
+
+
+def parse_newick(text, taxa=None, *, clamp_negative=False):
     """Parse a rooted binary Newick string.
 
     Returns (taxa, record): the leaf names in id order and a merge
@@ -49,13 +63,19 @@ def parse_newick(text, taxa=None):
     rows follow dataset order).  Without it, leaves are numbered in
     first-appearance order.
 
+    clamp_negative: neighbor-joining trees routinely carry tiny
+    negative branch lengths, which would make the pruning likelihood
+    NaN; True clamps them to 0, False (default) rejects them with an
+    error naming the option.
+
     Multifurcations and unrooted trifurcating roots are rejected with a
     clear error (the CSMC state space is rooted binary trees); internal
     node labels are accepted and ignored; quoted labels ('...') are
-    supported; the root's own branch length, if present, is ignored (a
-    root edge has no effect on the likelihood).
+    supported; whitespace between tokens is fine; the root's own branch
+    length, if present, is ignored (a root edge has no effect on the
+    likelihood).
     """
-    s = text.strip()
+    s = _strip_ws(text)
     if s.endswith(";"):
         s = s[:-1]
     pos = [0]
@@ -89,9 +109,19 @@ def parse_newick(text, taxa=None):
         while pos[0] < len(s) and s[pos[0]] not in "(),;":
             pos[0] += 1
         try:
-            return float(s[start:pos[0]])
+            b = float(s[start:pos[0]])
         except ValueError:
             error(f"bad branch length {s[start:pos[0]]!r}")
+        if b < 0:
+            if not clamp_negative:
+                error(
+                    f"negative branch length {b}; the pruning "
+                    "likelihood is undefined for negative lengths "
+                    "(NJ trees often carry tiny ones -- pass "
+                    "clamp_negative=True to clamp them to 0)"
+                )
+            b = 0.0
+        return b
 
     leaf_names = []
     merges = []
@@ -125,7 +155,17 @@ def parse_newick(text, taxa=None):
         leaf_names.append(name)
         return ("leaf", name), parse_length()
 
-    root, _ = parse_node()
+    # caterpillar (ladder) trees nest ~N deep; give the recursive
+    # descent and the resolve pass headroom beyond the default 1000
+    import sys
+
+    depth_bound = 8 * s.count("(") + 1000
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, depth_bound))
+    try:
+        root, _ = parse_node()
+    finally:
+        sys.setrecursionlimit(old_limit)
     if pos[0] != len(s):
         error(f"trailing characters {s[pos[0]:]!r}")
 
@@ -155,7 +195,11 @@ def parse_newick(text, taxa=None):
         branch_rows.append((llen, rlen))
         return N + len(merges) - 1, length
 
-    resolve((root, None))
+    sys.setrecursionlimit(max(old_limit, depth_bound))
+    try:
+        resolve((root, None))
+    finally:
+        sys.setrecursionlimit(old_limit)
 
     record = {"merges": np.asarray(merges, dtype=np.int32)}
     flat = [b for row in branch_rows for b in row]
@@ -241,6 +285,8 @@ def optimize_branch_lengths(leaves, model, params, record, *, steps=200,
         init = record.get("branches")
     if init is None:
         init = np.full((R, 2), 0.1)
+    # floor zero-length edges: log(0) = -inf would freeze them forever
+    init = np.maximum(np.asarray(init, dtype=np.float64), 1e-6)
     log_b0 = jnp.log(jnp.asarray(init, dtype=leaves.dtype))
 
     def loss(log_b):

@@ -111,8 +111,8 @@ class TwistConfig:
     # the full C(N, 2) chunk grid).  This extends the static-truncation
     # win to compute-bound configs like betacorona (N=17, 580 MB
     # enumeration).  0 disables (default until the in-situ TPU A/B
-    # lands -- tools/twist_probe3.py); raise to e.g. 24 to enable for
-    # R = N-1 <= that cap.  Applies under the same conditions as the
+    # lands -- tools/twist_chunked_ab.py); raise to e.g. 24 to enable
+    # for R = N-1 <= that cap.  Applies under the same conditions as the
     # plain unrolled mode (decisions/shardings None, pair_chunk unset).
     unroll_chunked_max_ranks: int = 0
 

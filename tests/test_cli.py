@@ -90,3 +90,19 @@ def test_cli_score_tree_from_run(tmp_path):
                      "--newick=((S0:0.1,S1:0.1):0.1,(S2:0.1,S3:0.1):0.1);",
                      f"--run={res.save_dir}"])
     assert np.isfinite(ll)
+
+
+def test_cli_score_tree_from_gamma_run(tmp_path):
+    """Gamma runs save the product-space Q' (G*A x G*A); scoring tiles
+    the leaf codes across categories (exact Gamma-mixture likelihood)."""
+    from phylo_tpu.cli.score_tree import main as score_main
+
+    res = main([
+        "--dataset=load_strings", "--n_particles=4", "--num_epoch=1",
+        "--batch_size=10", "--dtype=float64", "--gamma_categories=2",
+        f"--results_dir={tmp_path}",
+    ])
+    ll = score_main(["--dataset=load_strings",
+                     "--newick=((S0:0.1,S1:0.1):0.1,(S2:0.1,S3:0.1):0.1);",
+                     f"--run={res.save_dir}"])
+    assert np.isfinite(ll)

@@ -27,9 +27,13 @@ def test_dataset_from_arrays_reference_datadict_quirks():
     assert ds.taxa == ["x", "y"]
     np.testing.assert_array_equal(ds.genome[1, 0], np.ones(4))
     np.testing.assert_array_equal(ds.genome[0], g[0])
-    # taxa-count mismatch (betacorona1.p): generated names
+    # taxa-count mismatch inside a reference pickle payload
+    # (betacorona1.p): generated names
     ds2 = dataset_from_arrays({"genome": g, "taxa": ["only_one"]})
     assert ds2.taxa == ["S0", "S1"]
+    # ... but an EXPLICIT mismatched taxa argument is a caller bug
+    with pytest.raises(ValueError, match="2 names for"):
+        dataset_from_arrays(np.ones((3, 2, 4)), taxa=["x", "y"])
     with pytest.raises(ValueError):
         dataset_from_arrays({"taxa": ["x"]})
     with pytest.raises(ValueError):

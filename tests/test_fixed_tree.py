@@ -70,6 +70,47 @@ def test_parse_newick_taxa_reorder_and_quotes():
     assert "branches" not in rec2
 
 
+def test_parse_newick_whitespace_and_multiline():
+    taxa, rec = parse_newick(
+        "( (S0:0.1, S1:0.2):0.3,\n  (S2:0.1,\n   S3:0.4):0.2\n);"
+    )
+    assert taxa == ["S0", "S1", "S2", "S3"]
+    np.testing.assert_allclose(rec["branches"][0], [0.1, 0.2])
+    # quoted labels keep their internal spaces
+    t2, _ = parse_newick("('a b':1, c:1);")
+    assert t2 == ["a b", "c"]
+
+
+def test_parse_newick_negative_lengths():
+    nwk = "((S0:-0.05,S1:0.1):0.1,(S2:0.1,S3:0.1):0.1);"
+    with pytest.raises(ValueError, match="negative branch length"):
+        parse_newick(nwk)
+    _, rec = parse_newick(nwk, clamp_negative=True)
+    assert rec["branches"][0, 0] == 0.0
+    np.testing.assert_allclose(rec["branches"][0, 1], 0.1)
+
+
+def test_parse_newick_deep_caterpillar():
+    N = 600
+    nwk = "L0"
+    for i in range(1, N):
+        nwk = f"({nwk}:0.1,L{i}:0.1)"
+    taxa, rec = parse_newick(nwk + ";")
+    assert len(taxa) == N and rec["merges"].shape == (N - 1, 2)
+
+
+def test_optimize_branch_lengths_zero_init_moves():
+    ds, model, params = _setup()
+    _, rec = parse_newick(NWK, clamp_negative=True)
+    b0 = np.asarray(rec["branches"]).copy()
+    b0[1, 0] = 0.0                      # a clamped NJ-style zero edge
+    leaves = jnp.asarray(ds.genome)
+    b, ll = optimize_branch_lengths(leaves, model, params, rec,
+                                    steps=60, init=b0)
+    assert np.isfinite(float(ll))
+    assert float(b[1, 0]) > 0.0         # not frozen at log(0)
+
+
 def test_parse_newick_errors():
     with pytest.raises(ValueError, match="BINARY"):
         parse_newick("(a:1,b:1,c:1);")
