@@ -196,6 +196,45 @@ def test_tree_log_likelihood_branch_gradients():
     np.testing.assert_allclose(float(g[2, 1]), float(fd), rtol=1e-5)
 
 
+def test_f32_rescaled_matches_f64_at_hohna_scale():
+    """The per-site rescaling keeps float32 exact-enough at DS1 scale
+    (27 taxa x 1949 sites): fixed-tree log-likelihood in f32 matches
+    f64 to ~1e-6 relative."""
+    ds = load_dataset_or_skip("hohna_data_1")
+    # a random binary coalescence over the 27 taxa, built directly as a
+    # merge record (node ids: leaves 0..N-1, internal N+q)
+    rng = np.random.default_rng(0)
+    active = list(range(ds.N))
+    merges, branches = [], []
+    for q in range(ds.N - 1):
+        i, j = sorted(rng.choice(len(active), 2, replace=False))
+        merges.append((active[i], active[j]))
+        branches.append(rng.uniform(0.02, 0.5, 2))
+        active = [n for k, n in enumerate(active) if k not in (i, j)]
+        active.append(ds.N + q)
+    rec = {"merges": np.asarray(merges, np.int32),
+           "branches": np.asarray(branches)}
+    model = ReferenceQ(A=ds.A)
+    lls = {}
+    for dtype in (jnp.float64, jnp.float32):
+        params = {"model": model.init_params(dtype)}
+        leaves = jnp.asarray(ds.genome, dtype=dtype)
+        lls[dtype] = float(
+            tree_log_likelihood(leaves, model, params, rec)
+        )
+    np.testing.assert_allclose(lls[jnp.float32], lls[jnp.float64],
+                               rtol=2e-6)
+
+
+def load_dataset_or_skip(name):
+    from phylo_tpu.dataio import load_dataset
+
+    try:
+        return load_dataset(name)
+    except FileNotFoundError:  # pragma: no cover - vendored-data envs
+        pytest.skip(f"dataset {name} unavailable")
+
+
 def test_optimize_branch_lengths_improves_and_beats_start():
     ds, model, params = _setup()
     _, rec = parse_newick(NWK)
