@@ -14,3 +14,6 @@ from phylo_tpu.dataio.datasets import (  # noqa: F401
     simulate_dna,
     list_datasets,
 )
+from phylo_tpu.dataio.simulate import (  # noqa: F401
+    simulate_on_tree,
+)
