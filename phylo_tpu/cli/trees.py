@@ -43,6 +43,7 @@ def summarize(results_path, top=5, out=None):
 
     from phylo_tpu.viz.trees import (
         decode_genealogy,
+        majority_consensus,
         to_newick,
         to_nexus,
         tree_probabilities,
@@ -62,6 +63,7 @@ def summarize(results_path, top=5, out=None):
     with open(out, "w") as f:
         f.write(nexus)
 
+    consensus_nwk, _ = majority_consensus(taxa, genealogy, final_lw)
     summary = {
         "topologies": [
             {
@@ -71,6 +73,9 @@ def summarize(results_path, top=5, out=None):
             }
             for p, k in probs
         ],
+        # weighted majority-rule consensus with clade supports as
+        # internal labels
+        "consensus": consensus_nwk,
         "nexus": out,
         "n_particles": int(r["nParticles"]),
     }

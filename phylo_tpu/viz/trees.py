@@ -210,6 +210,86 @@ def _topology_key(taxa, record):
     return frozenset(keys)
 
 
+def _clade_sets(taxa, record):
+    """All non-trivial clades (frozensets of taxon names) of one record,
+    paired with the internal node id that roots each."""
+    N = len(taxa)
+    merges = record["merges"]
+    sets = {}
+
+    def clade(n):
+        n = int(n)
+        if n < N:
+            return frozenset([taxa[n]])
+        if n not in sets:
+            c1, c2 = merges[n - N]
+            sets[n] = clade(c1) | clade(c2)
+        return sets[n]
+
+    return [(clade(N + q), N + q) for q in range(merges.shape[0])]
+
+
+def majority_consensus(taxa, genealogy, log_weights_last=None,
+                       threshold=0.5):
+    """Weighted majority-rule consensus tree over the final particles.
+
+    Standard phylogenetic summary neither the reference nor the raw
+    sweep output provides: clades appearing in more than `threshold` of
+    the (weight-normalized) posterior mass are kept — any such set is
+    automatically pairwise compatible for threshold >= 0.5 — and
+    assembled into a (possibly multifurcating) rooted tree.
+
+    Returns (newick, supports): a Newick string with the clade support
+    fraction as each internal node's label, and a {frozenset: support}
+    dict for programmatic use.  Branch lengths are omitted (a consensus
+    topology has no single coherent length assignment).
+    """
+    if not 0.5 <= threshold < 1.0:
+        raise ValueError("threshold must be in [0.5, 1)")
+    K = len(genealogy)
+    if log_weights_last is None:
+        w = np.full((K,), 1.0 / K)
+    else:
+        log_w = np.asarray(log_weights_last, dtype=np.float64)
+        w = np.exp(log_w - log_w.max())
+        w = w / w.sum()
+
+    support = {}
+    for k, rec in enumerate(genealogy):
+        for clade, _ in set(_clade_sets(taxa, rec)):
+            support[clade] = support.get(clade, 0.0) + w[k]
+
+    all_taxa = frozenset(taxa)
+    kept = {c: s for c, s in support.items()
+            if s > threshold and 1 < len(c)}
+    kept[all_taxa] = max(kept.get(all_taxa, 0.0), 1.0)
+
+    # nest kept clades: parent = smallest kept strict superset
+    by_size = sorted(kept, key=len)
+    children = {c: [] for c in kept}
+    leaf_parent = {}
+    for c in by_size:
+        if c == all_taxa:
+            continue
+        parent = min(
+            (p for p in kept if len(p) > len(c) and c < p), key=len
+        )
+        children[parent].append(c)
+    for t in taxa:
+        owner = min((c for c in kept if t in c), key=len)
+        leaf_parent.setdefault(owner, []).append(t)
+
+    def nwk(c):
+        parts = [nwk(ch) for ch in
+                 sorted(children[c], key=lambda x: (len(x), sorted(x)))]
+        parts += sorted(leaf_parent.get(c, []))
+        label = "" if c == all_taxa else f"{kept[c]:.3f}"
+        return "(" + ",".join(parts) + ")" + label
+
+    supports = {c: s for c, s in kept.items() if c != all_taxa}
+    return nwk(all_taxa) + ";", supports
+
+
 def tree_probabilities(taxa, genealogy, log_weights_last):
     """Aggregate final-rank particle weights by identical topology.
 

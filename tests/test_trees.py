@@ -2,6 +2,7 @@ import numpy as np
 
 from phylo_tpu.viz.trees import (
     decode_genealogy,
+    majority_consensus,
     merge_name_chains,
     to_newick,
     tree_probabilities,
@@ -64,6 +65,45 @@ def test_tree_probabilities_group_identical_topologies():
     probs = tree_probabilities(TAXA, gen, np.array([0.0, 0.0]))
     assert len(probs) == 1
     np.testing.assert_allclose(probs[0][0], 1.0)
+
+
+def test_majority_consensus_hand_built():
+    taxa = ["a", "b", "c", "d"]
+    # ((a,b),(c,d)) twice, ((a,c),(b,d)) once, equal weights
+    r_ab = {"merges": np.array([[0, 1], [2, 3], [4, 5]])}
+    r_ac = {"merges": np.array([[0, 2], [1, 3], [4, 5]])}
+    nwk, sup = majority_consensus(taxa, [r_ab, r_ab, r_ac])
+    np.testing.assert_allclose(sup[frozenset({"a", "b"})], 2 / 3)
+    np.testing.assert_allclose(sup[frozenset({"c", "d"})], 2 / 3)
+    assert frozenset({"a", "c"}) not in sup
+    assert nwk == "((a,b)0.667,(c,d)0.667);"
+
+    # unanimous particles -> the topology itself, support 1
+    nwk1, sup1 = majority_consensus(taxa, [r_ab, r_ab])
+    assert nwk1 == "((a,b)1.000,(c,d)1.000);"
+    assert all(abs(s - 1.0) < 1e-12 for s in sup1.values())
+
+    # three-way conflict -> no clade above 1/2: star tree
+    r_ad = {"merges": np.array([[0, 3], [1, 2], [4, 5]])}
+    nwk2, sup2 = majority_consensus(taxa, [r_ab, r_ac, r_ad])
+    assert nwk2 == "(a,b,c,d);"
+    assert sup2 == {}
+
+    # weights decide: put nearly all mass on ((a,c),(b,d))
+    log_w = np.log(np.array([0.05, 0.05, 0.9]))
+    nwk3, sup3 = majority_consensus(taxa, [r_ab, r_ab, r_ac], log_w)
+    assert frozenset({"a", "c"}) in sup3
+    assert frozenset({"a", "b"}) not in sup3
+    assert nwk3 == "((a,c)0.900,(b,d)0.900);"
+
+
+def test_majority_consensus_nested_clades():
+    taxa = ["a", "b", "c", "d", "e"]
+    # caterpillar (((a,b),c),d),e  -- all particles identical
+    rec = {"merges": np.array([[0, 1], [5, 2], [6, 3], [7, 4]])}
+    nwk, sup = majority_consensus(taxa, [rec, rec, rec])
+    assert nwk == "((((a,b)1.000,c)1.000,d)1.000,e);"
+    assert len(sup) == 3
 
 
 def test_jump_chain_evolution_hand_traced():
