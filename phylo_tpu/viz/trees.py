@@ -290,6 +290,24 @@ def majority_consensus(taxa, genealogy, log_weights_last=None,
     return nwk(all_taxa) + ";", supports
 
 
+def robinson_foulds(taxa, rec1, rec2, *, normalized=False):
+    """Robinson-Foulds (symmetric clade-difference) distance between two
+    rooted trees in merge-record form.
+
+    Counts internal clades present in exactly one tree (root clade
+    excluded — shared by construction).  For binary rooted trees over N
+    taxa the maximum is 2(N-2); `normalized=True` divides by it.
+    """
+    all_taxa = frozenset(taxa)
+    c1 = {c for c, _ in _clade_sets(taxa, rec1)} - {all_taxa}
+    c2 = {c for c, _ in _clade_sets(taxa, rec2)} - {all_taxa}
+    d = len(c1 ^ c2)
+    if normalized:
+        m = len(c1) + len(c2)
+        return d / m if m else 0.0
+    return d
+
+
 def tree_probabilities(taxa, genealogy, log_weights_last):
     """Aggregate final-rank particle weights by identical topology.
 

@@ -106,6 +106,58 @@ def test_majority_consensus_nested_clades():
     assert len(sup) == 3
 
 
+def test_robinson_foulds():
+    from phylo_tpu.viz.trees import robinson_foulds
+
+    taxa = ["a", "b", "c", "d", "e"]
+    cat = {"merges": np.array([[0, 1], [5, 2], [6, 3], [7, 4]])}
+    # swap c and d deep in the caterpillar: clades {a,b,c} vs {a,b,d}
+    cat2 = {"merges": np.array([[0, 1], [5, 3], [6, 2], [7, 4]])}
+    bal = {"merges": np.array([[0, 1], [2, 3], [5, 6], [7, 4]])}
+    assert robinson_foulds(taxa, cat, cat) == 0
+    assert robinson_foulds(taxa, cat, cat2) == 2
+    assert robinson_foulds(taxa, cat, bal) == robinson_foulds(
+        taxa, bal, cat
+    )
+    # caterpillar vs balanced share {a,b} and {a,b,c,d}; unique clades
+    # are {a,b,c} (caterpillar) and {c,d} (balanced)
+    assert robinson_foulds(taxa, cat, bal) == 2
+    assert robinson_foulds(taxa, cat, bal, normalized=True) == 2 / 6
+
+
+def test_sweep_recovers_simulated_topology():
+    """End-to-end topology recovery: simulate data on a known tree,
+    run the sweep under the true model, and check the best particle's
+    RF distance to the truth (deterministic given the fixed seed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from phylo_tpu.dataio.simulate import simulate_on_tree
+    from phylo_tpu.models.branches import init_branch_params
+    from phylo_tpu.models.substitution import JC69
+    from phylo_tpu.pruning.fixed_tree import parse_newick
+    from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies
+    from phylo_tpu.viz.trees import robinson_foulds
+
+    model = JC69(A=4)
+    params0 = {"model": model.init_params(jnp.float64)}
+    _, truth = parse_newick(
+        "(((A:0.08,B:0.1):0.12,C:0.25):0.1,(D:0.09,E:0.11):0.2);"
+    )
+    ds = simulate_on_tree(truth, model, params0, S=400, seed=5)
+    params = {"model": model.init_params(jnp.float64),
+              "branches": init_branch_params(ds.N, dtype=jnp.float64)}
+    res = sample_phylogenies(
+        jax.random.PRNGKey(8), jnp.asarray(ds.genome), model, params,
+        SweepConfig(K=64),
+    )
+    gen = decode_genealogy(np.asarray(res.ancestors),
+                           np.asarray(res.merged_nodes))
+    best = int(np.argmax(np.asarray(res.log_likelihood_R)))
+    d = robinson_foulds(ds.taxa, gen[best], truth)
+    assert d <= 2, d
+
+
 def test_jump_chain_evolution_hand_traced():
     from phylo_tpu.viz.trees import jump_chain_evolution
 
