@@ -30,10 +30,19 @@ def simulate_on_tree(record, model, params, S, *, seed=0, taxa=None,
     Returns a PhyloDataset with one-hot (N, S, A) genomes.
 
     The recursion runs root -> leaves: the root's state is stationary,
-    and each child's state follows Categorical(P(b)[parent_state, :]).
-    Per-edge transition matrices come from the model's own `transition`
-    (so JC69 closed form, uniformized expm, GammaSites product space
-    etc. are all exercised exactly as the likelihood sees them).
+    and each child's state follows the parent's COLUMN of the model's
+    merge-oriented transition matrix, Categorical(M(b)[:, parent_state])
+    (M[a, b] = P(child a | parent b); models/substitution.py module
+    docstring).  Per-edge matrices come from the model's own
+    `transition` (so JC69 closed form, uniformized expm, GammaSites
+    product space etc. are all exercised exactly as the likelihood sees
+    them), which keeps simulation and pruning likelihood consistent:
+    exactly for reversible models (JC69/GTR/HKY/GammaSites -- see
+    tests/test_orientation.py's enumeration checks), and up to the
+    per-column renormalization for ReferenceQ/FixedQ, whose raw
+    expm(Qb) columns are not distributions (the reference's score is
+    unnormalized over leaf patterns; its stationary vector is a free
+    parameter unrelated to Q).
     """
     from phylo_tpu.dataio.datasets import PhyloDataset
 
@@ -46,10 +55,12 @@ def simulate_on_tree(record, model, params, S, *, seed=0, taxa=None,
 
     pi = np.asarray(model.stationary(params["model"]), np.float64)
     pi = pi / pi.sum()
-    # (R, 2, A, A) transition matrices in one batched call
+    # (R, 2, A, A) merge-oriented matrices in one batched call;
+    # transpose so rows index the PARENT state (generative orientation)
     P = np.asarray(
         model.transition(params["model"], branches), np.float64
     )
+    P = np.swapaxes(P, -1, -2)
     # guard tiny negative / unnormalized rows from f32 expm
     P = np.clip(P, 0.0, None)
     P = P / P.sum(axis=-1, keepdims=True)

@@ -15,6 +15,32 @@ Three models:
 
 Model objects are stateless and hashable (safe as jit static args);
 parameters live in plain dicts of jnp arrays.
+
+Transition-matrix ORIENTATION convention: the pruning merge contracts
+``merged(parent b) = sum_a msg_child(a) * M[a, b]`` (felsenstein.py /
+the fused kernels, matching the reference's ``data @ P``,
+vcsmc.py:180-188).  So ``model.transition(params, b)`` must return
+matrices in MERGE orientation: ``M[a, b] = P(child state a | parent
+state b)``, i.e. the TRANSPOSE of the row-stochastic
+``expm(Q b)[from, to]``.  Concretely:
+
+* ``JC69`` -- expm(Q b) is symmetric; orientation is moot.
+* ``GTR`` / ``HKY`` -- ``transition`` returns ``expm(Q^T b)``
+  (= ``expm(Q b)^T``, bit-exact under the uniformization series since
+  ``(Q^T)^k = (Q^k)^T``), so the pruning likelihood is the textbook
+  time-reversible likelihood.  With the raw ``expm(Q b)`` these models
+  scored a NON-standard quantity whenever pi is non-uniform (caught by
+  the enumeration parity test, tests/test_orientation.py).
+* ``ReferenceQ`` / ``FixedQ`` -- keep the reference's raw
+  ``expm(Q b)`` under ``data @ P``; that contraction IS the
+  reference's model definition (its learned stationary vector is a
+  free parameter unrelated to Q anyway), preserved bit-for-bit for
+  parity (oracle/, tests/test_sweep_parity.py).
+
+Generative code (dataio/simulate.py) must therefore sample a child
+state from the COLUMN ``M[:, parent]`` of whatever ``transition``
+returns -- that keeps simulation and likelihood consistent for every
+model, including ReferenceQ's implied generative law.
 """
 
 from __future__ import annotations
@@ -87,6 +113,8 @@ class ReferenceQ(_Model):
         return e / jnp.sum(e)
 
     def transition(self, params, b):
+        # raw expm(Qb): the reference's `data @ P` contraction defines
+        # this model (module docstring) -- do NOT transpose
         return expm_ctmc(self.Q(params), b)
 
 
@@ -131,7 +159,8 @@ class GTR(_Model):
         return e / jnp.sum(e)
 
     def transition(self, params, b):
-        return expm_ctmc(self.Q(params), b)
+        # merge orientation (module docstring): expm(Q^T b) = expm(Qb)^T
+        return expm_ctmc(self.Q(params).T, b)
 
 
 class HKY(_Model):
@@ -181,7 +210,8 @@ class HKY(_Model):
         return e / jnp.sum(e)
 
     def transition(self, params, b):
-        return expm_ctmc(self.Q(params), b)
+        # merge orientation (module docstring): expm(Q^T b) = expm(Qb)^T
+        return expm_ctmc(self.Q(params).T, b)
 
 
 def discrete_gamma_rates(alpha, G, newton_iters=25):
@@ -334,6 +364,8 @@ class FixedQ(_Model):
         return jnp.asarray(self._pi)
 
     def transition(self, params, b):
+        # raw expm(Qb), matching the reference csmc's `data @ P` use of
+        # its hardcoded generators (module docstring)
         return expm_ctmc(self.Q(params), b)
 
 

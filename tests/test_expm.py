@@ -131,9 +131,10 @@ def test_hky_structure_and_jc_reduction(rng):
     # stationarity under the matrix exponential
     P = scipy.linalg.expm(q3 * 0.7)
     np.testing.assert_allclose(pi @ P, pi, atol=1e-12)
-    # transition() agrees with scipy
+    # transition() agrees with scipy, in MERGE orientation (the
+    # transpose of the row-stochastic expm; substitution.py docstring)
     import jax
 
     Pj = np.asarray(m.transition(params, jnp.float64(0.7)))
-    np.testing.assert_allclose(Pj, P, atol=1e-9)
+    np.testing.assert_allclose(Pj, P.T, atol=1e-9)
     assert isinstance(get_model("hky85"), HKY)
