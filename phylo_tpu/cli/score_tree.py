@@ -52,6 +52,13 @@ def parse_args(argv=None):
     p.add_argument("--out", default=None,
                    help="write the scored tree (final branch lengths) "
                         "as Newick to this path")
+    p.add_argument("--ancestral", default=None,
+                   help="reconstruct marginal ancestral states on the "
+                        "scored tree; writes argmax sequences as FASTA "
+                        "when the path ends in .fasta/.fa, else a .npz "
+                        "with the full (V, S, A) posterior (plus "
+                        "base-state/rate-category marginals for gamma "
+                        "runs)")
     return p.parse_args(argv)
 
 
@@ -137,6 +144,49 @@ def main(argv=None):
     print(f"dataset: {ds.name}  N={ds.N} S={ds.S} A={ds.A}")
     print(f"model: {src}")
     print(f"log P(Y | tree, theta) = {float(ll):.6f}")
+
+    if args.ancestral:
+        from phylo_tpu.pruning.ancestral import (
+            ancestral_marginals,
+            collapse_categories,
+            decode_states,
+        )
+
+        post, _ = ancestral_marginals(leaves, model, params, record)
+        post = np.asarray(post)
+        N = ds.N
+        names = list(taxa) + [f"node{N + q}" for q in range(N - 1)]
+        names[-1] = "root"
+        G = model.A // ds.A
+        base_post = post
+        cat_post = None
+        if G > 1:      # gamma run: collapse the product space
+            bp, cp = collapse_categories(post, G)
+            base_post, cat_post = np.asarray(bp), np.asarray(cp)
+        conf = float(base_post[N:].max(axis=-1).mean())
+        print(f"ancestral reconstruction: mean internal-node argmax "
+              f"probability {conf:.4f}")
+        if args.ancestral.endswith((".fasta", ".fa")):
+            alphabet = ("ACGT" if ds.A == 4 else None)
+            if alphabet is None:
+                from phylo_tpu.dataio.alphabets import PROTEIN_ALPHABET
+
+                alphabet = (PROTEIN_ALPHABET
+                            if ds.A == len(PROTEIN_ALPHABET)
+                            else "".join(chr(65 + i) for i in range(ds.A)))
+            seqs = decode_states(base_post, alphabet)
+            with open(args.ancestral, "w") as f:
+                for name, seq in zip(names, seqs):
+                    f.write(f">{name}\n{seq}\n")
+        else:
+            arrays = dict(post=post, merges=np.asarray(record["merges"]),
+                          branches=np.asarray(record["branches"]),
+                          names=np.asarray(names))
+            if cat_post is not None:
+                arrays["base_post"] = base_post
+                arrays["rate_category_post"] = cat_post
+            np.savez(args.ancestral, **arrays)
+        print(f"ancestral states written to {args.ancestral}")
     if args.out:
         with open(args.out, "w") as f:
             f.write(to_newick(taxa, record) + "\n")

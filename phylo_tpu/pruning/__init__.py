@@ -1,3 +1,8 @@
+from phylo_tpu.pruning.ancestral import (  # noqa: F401
+    ancestral_marginals,
+    collapse_categories,
+    decode_states,
+)
 from phylo_tpu.pruning.felsenstein import (  # noqa: F401
     merge_messages,
     root_log_likelihood,

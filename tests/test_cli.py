@@ -78,6 +78,26 @@ def test_cli_score_tree(tmp_path):
     np.testing.assert_allclose(ll3, ll2, rtol=1e-6)
 
 
+def test_cli_score_tree_ancestral(tmp_path):
+    from phylo_tpu.cli.score_tree import main as score_main
+
+    nwk = "((S0:0.1,S1:0.1):0.1,(S2:0.1,S3:0.1):0.1);"
+    npz = str(tmp_path / "anc.npz")
+    fasta = str(tmp_path / "anc.fasta")
+    score_main(["--dataset=load_strings", f"--newick={nwk}",
+                "--model=jc69", f"--ancestral={npz}"])
+    data = np.load(npz)
+    V, S, A = data["post"].shape
+    assert V == 7 and A == 4
+    np.testing.assert_allclose(data["post"].sum(-1), 1.0, atol=1e-9)
+    assert list(data["names"][-1:]) == ["root"]
+
+    score_main(["--dataset=load_strings", f"--newick={nwk}",
+                "--model=jc69", f"--ancestral={fasta}"])
+    text = open(fasta).read()
+    assert text.count(">") == 7 and ">root" in text
+
+
 def test_cli_score_tree_from_run(tmp_path):
     from phylo_tpu.cli.score_tree import main as score_main
 
@@ -102,7 +122,13 @@ def test_cli_score_tree_from_gamma_run(tmp_path):
         "--batch_size=10", "--dtype=float64", "--gamma_categories=2",
         f"--results_dir={tmp_path}",
     ])
+    npz = str(tmp_path / "anc_gamma.npz")
     ll = score_main(["--dataset=load_strings",
                      "--newick=((S0:0.1,S1:0.1):0.1,(S2:0.1,S3:0.1):0.1);",
-                     f"--run={res.save_dir}"])
+                     f"--run={res.save_dir}", f"--ancestral={npz}"])
     assert np.isfinite(ll)
+    data = np.load(npz)
+    assert data["post"].shape[-1] == 8          # product space G*A
+    assert data["base_post"].shape[-1] == 4     # collapsed states
+    assert data["rate_category_post"].shape[-1] == 2
+    np.testing.assert_allclose(data["base_post"].sum(-1), 1.0, atol=1e-8)
