@@ -258,7 +258,22 @@ def majority_consensus(taxa, genealogy, log_weights_last=None,
     for k, rec in enumerate(genealogy):
         for clade, _ in set(_clade_sets(taxa, rec)):
             support[clade] = support.get(clade, 0.0) + w[k]
+    return consensus_from_supports(taxa, support, threshold=threshold)
 
+
+def consensus_from_supports(taxa, support, threshold=0.5):
+    """Assemble a majority-rule consensus tree from clade supports.
+
+    support: {frozenset(taxon names): fraction in [0, 1]} from any
+    estimator (posterior particle mass -- majority_consensus -- or
+    bootstrap replicate frequency, smc/bootstrap.py).  Clades above
+    `threshold` are pairwise compatible by the >1/2 argument and nest
+    into a (possibly multifurcating) rooted tree.
+
+    Returns (newick, supports) as `majority_consensus`.
+    """
+    if not 0.5 <= threshold < 1.0:
+        raise ValueError("threshold must be in [0.5, 1)")
     all_taxa = frozenset(taxa)
     kept = {c: s for c, s in support.items()
             if s > threshold and 1 < len(c)}

@@ -98,6 +98,18 @@ def test_cli_score_tree_ancestral(tmp_path):
     assert text.count(">") == 7 and ">root" in text
 
 
+def test_cli_bootstrap(tmp_path):
+    from phylo_tpu.cli.bootstrap import main as boot_main
+
+    out = str(tmp_path / "consensus.nwk")
+    res = boot_main(["--dataset=load_strings", "--n_particles=8",
+                     "--n_replicates=3", "--dtype=float64",
+                     f"--out={out}"])
+    assert res.counts.shape[0] == 3
+    text = open(out).read().strip()
+    assert text.endswith(";") and "S0" in text
+
+
 def test_cli_score_tree_from_run(tmp_path):
     from phylo_tpu.cli.score_tree import main as score_main
 
