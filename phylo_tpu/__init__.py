@@ -32,9 +32,11 @@ from phylo_tpu.dataio.datasets import (  # noqa: F401
     dataset_from_arrays,
     load_dataset,
 )
+from phylo_tpu.pruning.ancestral import ancestral_marginals  # noqa: F401
 from phylo_tpu.pruning.fixed_tree import (  # noqa: F401
     optimize_branch_lengths,
     parse_newick,
     tree_log_likelihood,
 )
+from phylo_tpu.smc.bootstrap import bootstrap_supports  # noqa: F401
 from phylo_tpu.train.trainer import TrainConfig, train  # noqa: F401
