@@ -38,5 +38,6 @@ from phylo_tpu.pruning.fixed_tree import (  # noqa: F401
     parse_newick,
     tree_log_likelihood,
 )
+from phylo_tpu.search import nni_search  # noqa: F401
 from phylo_tpu.smc.bootstrap import bootstrap_supports  # noqa: F401
 from phylo_tpu.train.trainer import TrainConfig, train  # noqa: F401

@@ -52,6 +52,14 @@ def parse_args(argv=None):
     p.add_argument("--out", default=None,
                    help="write the scored tree (final branch lengths) "
                         "as Newick to this path")
+    p.add_argument("--nni", action="store_true",
+                   help="improve the topology by NNI hill-climbing "
+                        "(search/nni.py) before scoring; all 2(N-2) "
+                        "neighbors score in one batched sweep per step")
+    p.add_argument("--nni_iters", type=int, default=50)
+    p.add_argument("--nni_branch_steps", type=int, default=20,
+                   help="joint branch-length refit steps per NNI "
+                        "iteration (0 keeps candidate lengths fixed)")
     p.add_argument("--ancestral", default=None,
                    help="reconstruct marginal ancestral states on the "
                         "scored tree; writes argmax sequences as FASTA "
@@ -127,6 +135,17 @@ def main(argv=None):
     # lengths come from the record / the ML fit)
     params = {"model": model.init_params(dtype)}
     leaves = jnp.asarray(genome, dtype=dtype)
+
+    if args.nni:
+        from phylo_tpu.search import nni_search
+
+        res = nni_search(
+            leaves, model, params, record, max_iters=args.nni_iters,
+            branch_opt_steps=args.nni_branch_steps, verbose=True,
+        )
+        record = res.record
+        print(f"NNI search: {res.iterations} iterations, "
+              f"log-likelihood {res.log_likelihood:.6f}")
 
     branches = record.get("branches")
     optimize = args.optimize_branches or branches is None

@@ -305,17 +305,33 @@ def consensus_from_supports(taxa, support, threshold=0.5):
     return nwk(all_taxa) + ";", supports
 
 
-def robinson_foulds(taxa, rec1, rec2, *, normalized=False):
+def robinson_foulds(taxa, rec1, rec2, *, normalized=False, rooted=True):
     """Robinson-Foulds (symmetric clade-difference) distance between two
-    rooted trees in merge-record form.
+    trees in merge-record form.
 
-    Counts internal clades present in exactly one tree (root clade
-    excluded — shared by construction).  For binary rooted trees over N
-    taxa the maximum is 2(N-2); `normalized=True` divides by it.
+    rooted=True (default) counts internal clades present in exactly one
+    tree (root clade excluded — shared by construction); maximum 2(N-2)
+    for binary rooted trees.  rooted=False compares UNROOTED
+    bipartitions instead (each clade keyed together with its
+    complement; the root's two child clades collapse into one split):
+    use this when the model is time-reversible, where the likelihood —
+    and so any ML search, e.g. search/nni.py — identifies trees only up
+    to root placement.  `normalized=True` divides by the total
+    count of (clades|splits) across both trees.
     """
     all_taxa = frozenset(taxa)
-    c1 = {c for c, _ in _clade_sets(taxa, rec1)} - {all_taxa}
-    c2 = {c for c, _ in _clade_sets(taxa, rec2)} - {all_taxa}
+
+    def keys(rec):
+        clades = {c for c, _ in _clade_sets(taxa, rec)} - {all_taxa}
+        if rooted:
+            return clades
+        return {
+            frozenset({c, all_taxa - c})
+            for c in clades
+            if 1 < len(c) < len(all_taxa) - 1   # drop trivial splits
+        }
+
+    c1, c2 = keys(rec1), keys(rec2)
     d = len(c1 ^ c2)
     if normalized:
         m = len(c1) + len(c2)

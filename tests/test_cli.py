@@ -98,6 +98,21 @@ def test_cli_score_tree_ancestral(tmp_path):
     assert text.count(">") == 7 and ">root" in text
 
 
+def test_cli_score_tree_nni(tmp_path):
+    from phylo_tpu.cli.score_tree import main as score_main
+
+    out = str(tmp_path / "ml.nwk")
+    # mis-grouped start: NNI should not do worse than scoring it as-is
+    nwk = "((S0:0.1,S2:0.1):0.1,(S1:0.1,S3:0.1):0.1);"
+    ll_fixed = score_main(["--dataset=load_strings", f"--newick={nwk}",
+                           "--model=jc69"])
+    ll_nni = score_main(["--dataset=load_strings", f"--newick={nwk}",
+                         "--model=jc69", "--nni", "--nni_iters=5",
+                         "--nni_branch_steps=10", f"--out={out}"])
+    assert ll_nni >= ll_fixed - 1e-6
+    assert open(out).read().strip().endswith(";")
+
+
 def test_cli_bootstrap(tmp_path):
     from phylo_tpu.cli.bootstrap import main as boot_main
 
