@@ -22,8 +22,11 @@ from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies  # noqa: F401
 from phylo_tpu.smc.twist import TwistConfig  # noqa: F401
 from phylo_tpu.models.substitution import (  # noqa: F401
     GTR,
+    HKY,
     JC69,
     FixedQ,
+    FreeRates,
+    GammaSites,
     ReferenceQ,
     get_model,
 )

@@ -63,6 +63,13 @@ def parse_args(argv=None):
                    help="discrete-Gamma rate heterogeneity across "
                    "sites with this many categories (learnable alpha); "
                    "0 = off")
+    p.add_argument("--invariant_sites", type=_boolish, default=False,
+                   help="+I proportion of invariant sites (learnable "
+                   "p_inv); combines with --gamma_categories (+G+I)")
+    p.add_argument("--free_rates", type=_boolish, default=False,
+                   help="+R FreeRates model: --gamma_categories fully "
+                   "learnable rate/weight categories (instead of "
+                   "Gamma-constrained rates)")
     p.add_argument("--memory_optimization", default="on",
                    help="accepted for reference compatibility; XLA manages "
                    "memory (the reference toggles TF grappler rewriting)")
@@ -163,6 +170,8 @@ def main(argv=None):
         jcmodel=args.jcmodel,
         substitution_model=args.model,
         gamma_categories=args.gamma_categories,
+        invariant_sites=args.invariant_sites,
+        free_rates=args.free_rates,
         resampling=args.resampling,
         ess_threshold=args.ess_threshold,
         carried_weights=args.carried_weights,

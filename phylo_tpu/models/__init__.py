@@ -6,6 +6,9 @@ from phylo_tpu.models.substitution import (  # noqa: F401
     JC69,
     ReferenceQ,
     GTR,
+    HKY,
+    GammaSites,
+    FreeRates,
     get_model,
 )
 from phylo_tpu.models.branches import (  # noqa: F401

@@ -255,41 +255,37 @@ def discrete_gamma_rates(alpha, G, newton_iters=25):
     return G * jnp.diff(q1)
 
 
-class GammaSites(_Model):
-    """Discrete-Gamma rate heterogeneity across sites (Yang 1994) as a
-    PRODUCT-SPACE substitution model.
+class _SiteMixture(_Model):
+    """Shared machinery for across-site rate-mixture models expressed
+    as PRODUCT-SPACE substitution models.
 
     The rate category is a hidden variable shared along the whole tree,
-    so it rides the state space: A' = G*A with
-    Q' = blockdiag(r_g(alpha) * Q_base) and pi' = (1/G) (1_G x pi).
-    Felsenstein pruning over A' then computes the exact Gamma-mixture
-    likelihood L_s = (1/G) sum_g L_s^(g) with NO changes to the SMC
-    sweep, rescaling, or sharding: categories never mix along branches
-    and are marginalized at the root by pi'.  alpha is learnable
-    (params['log_alpha']) through a differentiable Newton inverse of the
-    regularized incomplete gamma (discrete_gamma_rates).
+    so it rides the state space: A' = C*A with
+    Q' = blockdiag(r_c * Q_base) and pi' = w_c (x) pi (category weights
+    enter ONLY through the root stationary vector).  Felsenstein pruning
+    over A' then computes the exact mixture likelihood
+    L_s = sum_c w_c L_s^(c) with NO changes to the SMC sweep, rescaling,
+    or sharding: categories never mix along branches and are
+    marginalized at the root by pi'.
 
-    Costs G x memory and up to G x flops versus a category-batched
-    formulation (the dense A'xA' transition is 3/4 zeros at G=4) -- the
+    Subclasses provide `init_params`, `rates(params) -> (C,)` and
+    `weights(params) -> (C,)` (summing to 1); everything else --
+    stationary, blocked transitions, leaf expansion -- is shared.
+
+    Costs C x memory and up to C x flops versus a category-batched
+    formulation (the dense A'xA' transition is block-diagonal) -- the
     exactness/zero-surgery tradeoff is documented in ROADMAP.md.  The
     reference has no rate heterogeneity at all.
     """
 
-    def __init__(self, base, G=4):
-        self.base = get_model(base) if isinstance(base, str) else base
-        self.G = int(G)
-        self.A = self.base.A * self.G
-
-    def init_params(self, dtype=jnp.float32):
-        return {
-            "base": self.base.init_params(dtype),
-            "log_alpha": jnp.zeros((), dtype=dtype),
-        }
+    base: _Model
+    n_cat: int
 
     def rates(self, params):
-        return discrete_gamma_rates(
-            jnp.exp(params["log_alpha"]), self.G
-        )
+        raise NotImplementedError
+
+    def weights(self, params):
+        raise NotImplementedError
 
     def Q(self, params):
         r = self.rates(params)
@@ -298,23 +294,22 @@ class GammaSites(_Model):
 
     def stationary(self, params):
         pib = self.base.stationary(params["base"])
-        return jnp.kron(
-            jnp.full((self.G,), 1.0 / self.G, dtype=pib.dtype), pib
-        )
+        w = self.weights(params).astype(pib.dtype)
+        return jnp.kron(w, pib)
 
     @property
     def blocks(self):
-        """(G, A_base) block structure of the transition matrices --
+        """(C, A_base) block structure of the transition matrices --
         the sweep uses `transition_blocks` + the blocked merge when a
         model exposes this."""
-        return (self.G, self.base.A)
+        return (self.n_cat, self.base.A)
 
     def transition_blocks(self, params, b):
-        """Per-category transitions (..., G, A, A): expm of a
+        """Per-category transitions (..., C, A, A): expm of a
         block-diagonal generator is the block-diagonal of the blocks'
-        expms, so G batched A x A expms (through the base model's
+        expms, so C batched A x A expms (through the base model's
         transition -- JC69 keeps its closed form) replace one dense
-        (G A)^3 series: G^2 x fewer flops, identical math."""
+        (C A)^3 series: C^2 x fewer flops, identical math."""
         r = self.rates(params)
         b = jnp.asarray(b)
         return self.base.transition(
@@ -323,20 +318,107 @@ class GammaSites(_Model):
 
     def transition(self, params, b):
         b = jnp.asarray(b)
-        Pg = self.transition_blocks(params, b)   # (..., G, A, A)
-        G, A = self.G, self.base.A
-        eye = jnp.eye(G, dtype=Pg.dtype)
+        Pg = self.transition_blocks(params, b)   # (..., C, A, A)
+        C, A = self.n_cat, self.base.A
+        eye = jnp.eye(C, dtype=Pg.dtype)
         # exact f32 broadcast-multiply assembly (no dot_general)
         dense = Pg[..., :, :, None, :] * eye[:, None, :, None]
-        return dense.reshape(*b.shape, G * A, G * A)
+        return dense.reshape(*b.shape, C * A, C * A)
 
     def expand_leaves(self, genome):
-        """(N, S, A) one-hot/ambiguous codes -> (N, S, G*A): the
+        """(N, S, A) one-hot/ambiguous codes -> (N, S, C*A): the
         observation is category-independent, so each category block
         repeats the base code (gap all-ones rows stay all-ones)."""
         import numpy as _np
 
-        return _np.tile(_np.asarray(genome), (1, 1, self.G))
+        return _np.tile(_np.asarray(genome), (1, 1, self.n_cat))
+
+
+class GammaSites(_SiteMixture):
+    """Discrete-Gamma rate heterogeneity across sites (Yang 1994),
+    optionally with a proportion of invariant sites (+I, Gu et al.
+    1995): `invariant=True` prepends a rate-0 category whose weight
+    p_inv is learnable (params['logit_pinv']); the Gamma categories are
+    rescaled by 1/(1-p_inv) so the mean rate stays exactly 1.  alpha is
+    learnable (params['log_alpha']) through a differentiable Newton
+    inverse of the regularized incomplete gamma (discrete_gamma_rates).
+    G=1 with invariant=True is the plain +I model.
+    """
+
+    def __init__(self, base, G=4, invariant=False):
+        self.base = get_model(base) if isinstance(base, str) else base
+        self.G = int(G)
+        self.invariant = bool(invariant)
+        self.n_cat = self.G + (1 if self.invariant else 0)
+        self.A = self.base.A * self.n_cat
+
+    def init_params(self, dtype=jnp.float32):
+        p = {
+            "base": self.base.init_params(dtype),
+            "log_alpha": jnp.zeros((), dtype=dtype),
+        }
+        if self.invariant:
+            # sigmoid(-2) ~ 0.12: start with a small invariant fraction
+            p["logit_pinv"] = jnp.asarray(-2.0, dtype=dtype)
+        return p
+
+    def _pinv(self, params):
+        import jax
+
+        return jax.nn.sigmoid(params["logit_pinv"])
+
+    def rates(self, params):
+        r = discrete_gamma_rates(jnp.exp(params["log_alpha"]), self.G)
+        if not self.invariant:
+            return r
+        p = self._pinv(params).astype(r.dtype)
+        return jnp.concatenate([
+            jnp.zeros((1,), r.dtype), r / (1.0 - p)
+        ])
+
+    def weights(self, params):
+        if not self.invariant:
+            return jnp.full((self.G,), 1.0 / self.G)
+        p = self._pinv(params)
+        return jnp.concatenate([
+            p[None], jnp.full((self.G,), 1.0, p.dtype) * (1.0 - p) / self.G
+        ])
+
+
+class FreeRates(_SiteMixture):
+    """FreeRates across-site heterogeneity (Yang 1995; RAxML/IQ-TREE's
+    +R model): G categories with fully learnable rates AND weights --
+    weights via softmax(params['w_logits']), rates via
+    exp(params['log_rates']) normalized so sum_c w_c r_c == 1 exactly
+    (rate/branch-length identifiability).  Strictly generalizes
+    discrete-Gamma; useful when the Gamma shape is a poor fit.
+    """
+
+    def __init__(self, base, G=4):
+        self.base = get_model(base) if isinstance(base, str) else base
+        self.G = int(G)
+        self.n_cat = self.G
+        self.A = self.base.A * self.G
+
+    def init_params(self, dtype=jnp.float32):
+        # spread initial rates so categories are not permutation-
+        # symmetric at init (softmax/exp of zeros would make every
+        # category identical and gradients symmetric forever)
+        g = jnp.arange(self.G, dtype=dtype)
+        return {
+            "base": self.base.init_params(dtype),
+            "w_logits": jnp.zeros((self.G,), dtype=dtype),
+            "log_rates": (g - (self.G - 1) / 2.0) * (2.0 / max(self.G, 2)),
+        }
+
+    def weights(self, params):
+        e = jnp.exp(params["w_logits"] - jnp.max(params["w_logits"]))
+        return e / jnp.sum(e)
+
+    def rates(self, params):
+        raw = jnp.exp(params["log_rates"])
+        w = self.weights(params)
+        return raw / jnp.sum(w * raw)
 
 
 class FixedQ(_Model):

@@ -50,6 +50,14 @@ class TrainConfig:
     # the substitution model in GammaSites with this many categories
     # (learnable alpha).  0/1 = off (the reference has none).
     gamma_categories: int = 0
+    # proportion of invariant sites (+I, learnable p_inv): combines
+    # with gamma_categories (+G+I) or stands alone (+I).
+    invariant_sites: bool = False
+    # FreeRates (+R) across-site model: gamma_categories fully
+    # learnable (rates AND weights) categories instead of
+    # Gamma-constrained rates.  Mutually exclusive with
+    # invariant_sites (FreeRates can learn a near-zero category).
+    free_rates: bool = False
     resampling: str = "multinomial"
     dtype: str = "float32"
     seed: int = 0
@@ -152,10 +160,23 @@ def init_params(dataset, config):
         "jc69" if config.jcmodel else "reference"
     )
     model = get_model(name, A=dataset.A)
-    if config.gamma_categories and config.gamma_categories > 1:
+    if config.free_rates:
+        from phylo_tpu.models.substitution import FreeRates
+
+        if config.invariant_sites:
+            raise ValueError(
+                "free_rates and invariant_sites are mutually exclusive "
+                "(FreeRates can learn a near-zero-rate category)"
+            )
+        model = FreeRates(model, G=max(config.gamma_categories, 2))
+    elif (config.gamma_categories and config.gamma_categories > 1) \
+            or config.invariant_sites:
         from phylo_tpu.models.substitution import GammaSites
 
-        model = GammaSites(model, G=config.gamma_categories)
+        model = GammaSites(
+            model, G=max(config.gamma_categories, 1),
+            invariant=config.invariant_sites,
+        )
     params = {
         "model": model.init_params(dtype),
         "branches": init_branch_params(
