@@ -30,6 +30,10 @@ from phylo_tpu.models.substitution import (  # noqa: F401
     ReferenceQ,
     get_model,
 )
+from phylo_tpu.models.empirical import (  # noqa: F401
+    EmpiricalProtein,
+    load_paml_dat,
+)
 from phylo_tpu.models.branches import init_branch_params  # noqa: F401
 from phylo_tpu.dataio.datasets import (  # noqa: F401
     dataset_from_arrays,

@@ -63,6 +63,12 @@ def parse_args(argv=None):
                    help="discrete-Gamma rate heterogeneity across "
                    "sites with this many categories (learnable alpha); "
                    "0 = off")
+    p.add_argument("--paml_dat", default=None,
+                   help="empirical amino-acid model from a PAML .dat "
+                   "file (LG/WAG/JTT...); overrides --model")
+    p.add_argument("--plus_f", type=_boolish, default=False,
+                   help="+F: learn stationary frequencies (initialized "
+                   "at the --paml_dat file's values)")
     p.add_argument("--invariant_sites", type=_boolish, default=False,
                    help="+I proportion of invariant sites (learnable "
                    "p_inv); combines with --gamma_categories (+G+I)")
@@ -172,6 +178,8 @@ def main(argv=None):
         gamma_categories=args.gamma_categories,
         invariant_sites=args.invariant_sites,
         free_rates=args.free_rates,
+        paml_dat=args.paml_dat,
+        plus_f=args.plus_f,
         resampling=args.resampling,
         ess_threshold=args.ess_threshold,
         carried_weights=args.carried_weights,

@@ -11,6 +11,10 @@ from phylo_tpu.models.substitution import (  # noqa: F401
     FreeRates,
     get_model,
 )
+from phylo_tpu.models.empirical import (  # noqa: F401
+    EmpiricalProtein,
+    load_paml_dat,
+)
 from phylo_tpu.models.branches import (  # noqa: F401
     init_branch_params,
     branch_rates,

@@ -46,6 +46,11 @@ class TrainConfig:
     # reference's learned-Q parameterization.  'gtr' trains textbook
     # GTR (exchangeabilities x stationary), 'hky' HKY85.
     substitution_model: Optional[str] = None
+    # empirical amino-acid model from a PAML .dat file (LG/WAG/JTT...):
+    # overrides substitution_model; plus_f makes the stationary
+    # frequencies learnable (+F), initialized at the file's values.
+    paml_dat: Optional[str] = None
+    plus_f: bool = False
     # discrete-Gamma rate heterogeneity across sites (Yang 1994): wrap
     # the substitution model in GammaSites with this many categories
     # (learnable alpha).  0/1 = off (the reference has none).
@@ -156,10 +161,22 @@ def _sweep_config(config, ds_N):
 
 def init_params(dataset, config):
     dtype = jnp.dtype(config.dtype)
-    name = config.substitution_model or (
-        "jc69" if config.jcmodel else "reference"
-    )
-    model = get_model(name, A=dataset.A)
+    if config.paml_dat:
+        from phylo_tpu.models.empirical import EmpiricalProtein
+
+        model = EmpiricalProtein.from_paml(
+            config.paml_dat, plus_f=config.plus_f
+        )
+        if model.A != dataset.A:
+            raise ValueError(
+                f"empirical protein model has A={model.A} states but "
+                f"the dataset has A={dataset.A}"
+            )
+    else:
+        name = config.substitution_model or (
+            "jc69" if config.jcmodel else "reference"
+        )
+        model = get_model(name, A=dataset.A)
     if config.free_rates:
         from phylo_tpu.models.substitution import FreeRates
 

@@ -1,0 +1,180 @@
+"""Empirical amino-acid models: PAML .dat parsing + EmpiricalProtein.
+
+The reference framework is DNA-only; this pins the extension's parser
+(PAML order -> alphabetical reorder), the model's CTMC structure
+(detailed balance, unit rate), its reduction to JC69 at uniform inputs,
+and end-to-end protein training incl. the +F learnable frequencies.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phylo_tpu.dataio import dataset_from_strings
+from phylo_tpu.dataio.alphabets import PROTEIN_ALPHABET
+from phylo_tpu.models.branches import init_branch_params
+from phylo_tpu.models.empirical import (
+    PAML_ORDER,
+    EmpiricalProtein,
+    load_paml_dat,
+)
+from phylo_tpu.models.substitution import JC69, GammaSites
+from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies
+
+PROT_STRINGS = [
+    "MKTAYIAKQRQISFVKSHFSRQ",
+    "MKTAYIAKQRQISFVKSHFSRL",
+    "MKSAYIAKQRQLSFVKSHFSRQ",
+    "MKSAYIPKQRQLSFVKNHFSRQ",
+]
+
+
+def _synthetic_dat(freqs=None):
+    """A .dat text in PAML order whose entry for (row i, col j) is
+    100*i + j -- position-identifying, so the reorder is checkable."""
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(1, 20):
+        lines.append(" ".join(f"{100 * i + j}.0" for j in range(i)))
+    if freqs is None:
+        f = rng.random(20) + 0.5
+        freqs = f / f.sum()
+    lines.append("")
+    lines.append(" ".join(f"{x:.12f}" for x in freqs))
+    lines.append("")
+    lines.append("LG-style notes: matrix estimated from many alignments")
+    return "\n".join(lines), np.asarray(freqs)
+
+
+def test_paml_parse_reorders_to_alphabetical(tmp_path):
+    text, freqs = _synthetic_dat()
+    path = tmp_path / "synth.dat"
+    path.write_text(text)
+    exch, f = load_paml_dat(str(path))
+
+    assert exch.shape == (20, 20)
+    np.testing.assert_allclose(exch, exch.T)
+    np.testing.assert_allclose(np.diag(exch), 0.0)
+    np.testing.assert_allclose(f.sum(), 1.0, rtol=1e-12)
+
+    # spot-check letter pairs through both orderings
+    for a, b in [("A", "R"), ("C", "W"), ("V", "Y"), ("M", "K")]:
+        pi_, pj = PAML_ORDER.index(a), PAML_ORDER.index(b)
+        i, j = max(pi_, pj), min(pi_, pj)
+        want = 100 * i + j
+        ri, rj = PROTEIN_ALPHABET.index(a), PROTEIN_ALPHABET.index(b)
+        assert exch[ri, rj] == want, (a, b)
+    # frequency of letter 'a' follows the same permutation
+    for a in "ADGW":
+        assert np.isclose(
+            f[PROTEIN_ALPHABET.index(a)],
+            freqs[PAML_ORDER.index(a)] / freqs.sum(),
+        )
+
+
+def test_paml_parse_errors():
+    with pytest.raises(FileNotFoundError):
+        load_paml_dat("/nonexistent/lg.dat")
+    with pytest.raises(ValueError, match="need at least"):
+        load_paml_dat("1.0 2.0 3.0\n")
+    text, _ = _synthetic_dat()
+    # non-numeric garbage before the numbers end
+    bad = text.replace("101.0", "oops", 1)
+    with pytest.raises(ValueError, match="non-numeric"):
+        load_paml_dat(bad)
+
+
+def test_uniform_empirical_equals_jc69():
+    """s_ij = 1, pi uniform, unnormalized -> exactly the JC69(20)
+    generator and transitions."""
+    exch = 1.0 - np.eye(20)
+    m = EmpiricalProtein(exch, np.full(20, 0.05), normalize=False)
+    jc = JC69(A=20)
+    np.testing.assert_allclose(
+        np.asarray(m.Q({})), np.asarray(jc.Q({})), atol=1e-12
+    )
+    b = jnp.float64(0.42)
+    np.testing.assert_allclose(
+        np.asarray(m.transition({}, b)),
+        np.asarray(jc.transition({}, b)), rtol=1e-9,
+    )
+
+
+def test_detailed_balance_and_unit_rate(tmp_path):
+    text, _ = _synthetic_dat()
+    m = EmpiricalProtein.from_paml(text)
+    q = np.asarray(m.Q({}), np.float64)
+    pi = np.asarray(m.stationary({}), np.float64)
+    np.testing.assert_allclose(q.sum(axis=1), 0.0, atol=1e-9)
+    # reversibility: pi_i q_ij == pi_j q_ji
+    np.testing.assert_allclose(
+        pi[:, None] * q, (pi[:, None] * q).T, rtol=1e-9
+    )
+    # normalized to one expected substitution per unit branch length
+    np.testing.assert_allclose(-np.sum(pi * np.diag(q)), 1.0, rtol=1e-9)
+
+
+def test_protein_sweep_end_to_end_and_plus_f_gradients():
+    ds = dataset_from_strings(
+        PROT_STRINGS, name="prot", alphabet=PROTEIN_ALPHABET
+    )
+    assert ds.A == 20
+    text, _ = _synthetic_dat()
+    m = EmpiricalProtein.from_paml(text, plus_f=True)
+    params = {"model": m.init_params(jnp.float64),
+              "branches": init_branch_params(ds.N, dtype=jnp.float64)}
+    leaves = jnp.asarray(ds.genome, jnp.float64)
+
+    def loss(p):
+        return -sample_phylogenies(
+            jax.random.PRNGKey(0), leaves, m, p, SweepConfig(K=4)
+        ).elbo
+
+    v, g = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(v))
+    gy = np.asarray(g["model"]["y_station"])
+    assert np.isfinite(gy).all() and np.any(gy != 0.0)
+
+
+def test_empirical_composes_with_gamma_invariant():
+    text, _ = _synthetic_dat()
+    base = EmpiricalProtein.from_paml(text)
+    m = GammaSites(base, G=2, invariant=True)
+    assert m.A == 60 and m.blocks == (3, 20)
+    ds = dataset_from_strings(
+        PROT_STRINGS, name="prot_gamma", alphabet=PROTEIN_ALPHABET
+    )
+    params = {"model": m.init_params(jnp.float64),
+              "branches": init_branch_params(ds.N, dtype=jnp.float64)}
+    leaves = jnp.asarray(m.expand_leaves(ds.genome), jnp.float64)
+    res = sample_phylogenies(
+        jax.random.PRNGKey(1), leaves, m, params, SweepConfig(K=4)
+    )
+    assert np.isfinite(float(res.elbo))
+
+
+def test_trainer_paml_wiring(tmp_path):
+    from phylo_tpu.train import TrainConfig, train
+    from phylo_tpu.train.trainer import init_params
+
+    text, _ = _synthetic_dat()
+    path = tmp_path / "synth.dat"
+    path.write_text(text)
+
+    ds = dataset_from_strings(
+        PROT_STRINGS, name="prot_train", alphabet=PROTEIN_ALPHABET
+    )
+    cfg = TrainConfig(
+        n_particles=4, batch_size=22, num_epoch=2, optimizer="Adam",
+        dtype="float64", results_dir=str(tmp_path), log_every=0,
+        paml_dat=str(path), plus_f=True,
+    )
+    res = train(ds, cfg)
+    assert np.isfinite(res.elbo)
+    assert "y_station" in res.params["model"]
+
+    # A mismatch: DNA dataset under a 20-state model
+    dna = dataset_from_strings(["ACGT", "ACGA", "ACCA"], name="dna4")
+    with pytest.raises(ValueError, match="A=20"):
+        init_params(dna, cfg)
