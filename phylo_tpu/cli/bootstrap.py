@@ -24,7 +24,8 @@ def parse_args(argv=None):
     p.add_argument("--n_particles", type=int, default=64)
     p.add_argument("--n_replicates", type=int, default=50)
     p.add_argument("--model", default="jc69",
-                   help="substitution model (jc69|reference|gtr|hky)")
+                   help="substitution model spec (jc69|reference|gtr|"
+                   "hky|<paml.dat>, +gN/+i/+rN/+f modifiers)")
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--map_tree", action="store_true",
                    help="count one (highest-weight) tree per replicate")
@@ -57,6 +58,11 @@ def main(argv=None):
     genome = ds.genome
     if hasattr(model, "expand_leaves"):
         genome = model.expand_leaves(genome)
+    if model.A != genome.shape[-1]:
+        raise ValueError(
+            f"model {args.model!r} has A={model.A} states but the "
+            f"dataset has A={ds.A}"
+        )
     params = {
         "model": model.init_params(dtype),
         "branches": init_branch_params(ds.N, dtype=dtype),

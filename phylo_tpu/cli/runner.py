@@ -55,10 +55,11 @@ def parse_args(argv=None):
     p.add_argument("--jcmodel", type=_boolish, default=False,
                    help="fixed JC69 substitution model")
     p.add_argument("--model", default=None,
-                   choices=["jc69", "reference", "gtr", "hky"],
-                   help="substitution model; overrides --jcmodel "
-                   "(default: reference learned-Q, or jc69 when "
-                   "--jcmodel=true)")
+                   help="substitution model spec: jc69|reference|gtr|"
+                   "hky|<paml.dat>, with optional +gN/+i/+rN/+f "
+                   "modifiers (e.g. gtr+g4+i, lg.dat+f); overrides "
+                   "--jcmodel (default: reference learned-Q, or jc69 "
+                   "when --jcmodel=true)")
     p.add_argument("--gamma_categories", type=int, default=0,
                    help="discrete-Gamma rate heterogeneity across "
                    "sites with this many categories (learnable alpha); "

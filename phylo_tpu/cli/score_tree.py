@@ -131,6 +131,15 @@ def main(argv=None):
             genome = np.tile(genome, (1, 1, G))
     else:
         model = get_model(args.model, A=ds.A)
+        if hasattr(model, "expand_leaves"):
+            # product-space mixtures (+g/+i/+r specs): tile leaf codes
+            # across the rate-category blocks
+            genome = model.expand_leaves(genome)
+        if model.A != genome.shape[-1]:
+            raise ValueError(
+                f"model {args.model!r} has A={model.A} states but the "
+                f"dataset has A={ds.A}"
+            )
     # only params['model'] participates in fixed-tree scoring (branch
     # lengths come from the record / the ML fit)
     params = {"model": model.init_params(dtype)}

@@ -451,14 +451,76 @@ class FixedQ(_Model):
         return expm_ctmc(self.Q(params), b)
 
 
-def get_model(name, A=4):
-    name = name.lower()
-    if name in ("jc", "jc69", "jcmodel"):
+def _get_base_model(name, A):
+    lowered = name.lower()
+    if lowered.endswith(".dat"):
+        # PAML empirical amino-acid file -- path kept case-sensitive;
+        # '.dat:f' / the '+f' modifier selects learnable frequencies
+        from phylo_tpu.models.empirical import EmpiricalProtein
+
+        return EmpiricalProtein.from_paml(name)
+    if lowered in ("jc", "jc69", "jcmodel"):
         return JC69(A)
-    if name in ("reference", "referenceq", "learned", "learned_q"):
+    if lowered in ("reference", "referenceq", "learned", "learned_q"):
         return ReferenceQ(A)
-    if name == "gtr":
+    if lowered == "gtr":
         return GTR(A)
-    if name in ("hky", "hky85"):
+    if lowered in ("hky", "hky85"):
         return HKY(A)
     raise KeyError(f"unknown substitution model {name!r}")
+
+
+def get_model(name, A=4):
+    """Resolve a substitution-model spec string.
+
+    A spec is a base model name -- ``jc69`` / ``reference`` / ``gtr`` /
+    ``hky`` / a PAML ``.dat`` path (empirical protein) -- optionally
+    followed by '+'-separated across-site modifiers:
+
+    * ``+gN``: discrete-Gamma with N categories (``+g`` = ``+g4``),
+    * ``+i``: a learnable proportion of invariant sites,
+    * ``+rN``: FreeRates with N learnable rate/weight categories,
+    * ``+f``: learnable stationary frequencies (.dat bases only).
+
+    e.g. ``gtr+g4+i``, ``jc69+r3``, ``lg.dat+f+g4``.  Matches the
+    standard PhyML/RAxML/IQ-TREE model-string idiom.
+    """
+    parts = str(name).split("+")
+    base = _get_base_model(parts[0], A)
+    gamma = None
+    invariant = False
+    freerates = None
+    for mod in parts[1:]:
+        m = mod.strip().lower()
+        if not m:
+            continue
+        if m == "i":
+            invariant = True
+        elif m == "f":
+            from phylo_tpu.models.empirical import EmpiricalProtein
+
+            if not isinstance(base, EmpiricalProtein):
+                raise ValueError(
+                    f"'+f' requires a PAML .dat base model (spec {name!r})"
+                )
+            base = EmpiricalProtein(
+                base._exch, base._freqs, name=base.name, plus_f=True,
+                normalize=base.normalize,
+            )
+        elif m[0] == "g" and (len(m) == 1 or m[1:].isdigit()):
+            gamma = int(m[1:]) if len(m) > 1 else 4
+        elif m[0] == "r" and (len(m) == 1 or m[1:].isdigit()):
+            freerates = int(m[1:]) if len(m) > 1 else 4
+        else:
+            raise ValueError(
+                f"unknown model modifier {mod!r} in spec {name!r}"
+            )
+    if freerates is not None:
+        if gamma is not None or invariant:
+            raise ValueError(
+                f"'+r' cannot combine with '+g'/'+i' (spec {name!r})"
+            )
+        return FreeRates(base, G=freerates)
+    if gamma is not None or invariant:
+        return GammaSites(base, G=gamma or 1, invariant=invariant)
+    return base

@@ -177,6 +177,14 @@ def init_params(dataset, config):
             "jc69" if config.jcmodel else "reference"
         )
         model = get_model(name, A=dataset.A)
+    if hasattr(model, "expand_leaves") and (
+            config.gamma_categories or config.invariant_sites
+            or config.free_rates):
+        raise ValueError(
+            "substitution_model spec already includes a rate mixture "
+            "(+g/+i/+r); drop the gamma_categories/invariant_sites/"
+            "free_rates flags"
+        )
     if config.free_rates:
         from phylo_tpu.models.substitution import FreeRates
 

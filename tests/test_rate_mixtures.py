@@ -229,6 +229,53 @@ def test_train_invariant_and_freerates_end_to_end(tmp_path):
             assert "logit_pinv" in res.params["model"]
 
 
+def test_get_model_specs(tmp_path):
+    """'+'-separated model specs (gtr+g4+i, jc69+r3, <paml>.dat+f)
+    resolve to the composed model classes."""
+    from phylo_tpu.models.substitution import GTR, get_model
+
+    m = get_model("gtr+g4+i")
+    assert isinstance(m, GammaSites) and m.G == 4 and m.invariant
+    assert isinstance(m.base, GTR)
+
+    m = get_model("jc69+i")
+    assert isinstance(m, GammaSites) and m.G == 1 and m.invariant
+
+    m = get_model("reference+r3")
+    assert isinstance(m, FreeRates) and m.G == 3
+
+    m = get_model("HKY+g")          # case-insensitive, default G=4
+    assert isinstance(m, GammaSites) and m.G == 4 and not m.invariant
+
+    with pytest.raises(ValueError, match="cannot combine"):
+        get_model("gtr+g4+r2")
+    with pytest.raises(ValueError, match="unknown model modifier"):
+        get_model("gtr+q9")
+    with pytest.raises(ValueError, match="requires a PAML"):
+        get_model("gtr+f")
+
+    # .dat base with +f and a mixture
+    from tests.test_empirical_protein import _synthetic_dat
+    from phylo_tpu.models.empirical import EmpiricalProtein
+
+    path = tmp_path / "m.dat"
+    path.write_text(_synthetic_dat()[0])
+    m = get_model(f"{path}+f+g2")
+    assert isinstance(m, GammaSites) and m.G == 2
+    assert isinstance(m.base, EmpiricalProtein) and m.base.plus_f
+
+
+def test_trainer_rejects_spec_plus_flags():
+    from phylo_tpu.train import TrainConfig
+    from phylo_tpu.train.trainer import init_params
+
+    ds = dataset_from_strings(STRINGS, name="spec_excl")
+    cfg = TrainConfig(n_particles=4, substitution_model="gtr+g2",
+                      gamma_categories=3)
+    with pytest.raises(ValueError, match="already includes"):
+        init_params(ds, cfg)
+
+
 def test_freerates_invariant_mutually_exclusive():
     from phylo_tpu.train import TrainConfig
     from phylo_tpu.train.trainer import init_params
