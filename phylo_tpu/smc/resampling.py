@@ -20,16 +20,18 @@ STRATEGIES = ("multinomial", "systematic", "stratified", "none")
 # different random stream.
 MULTINOMIAL_CDF = _os.environ.get("PHYLO_MULTINOMIAL_CDF", "0") == "1"
 
-# PHYLO_RESAMPLE_KERNEL: "auto" draws the multinomial with the
-# hardware-PRNG Pallas kernel (smc.resample_kernel) on unsharded TPU
-# f32 sweeps at K >= 1024 -- same Gumbel-max distribution, the (K, K)
-# field synthesized and reduced entirely in VMEM; "1" forces, "0"
-# keeps jax.random.categorical.  DEFAULT OFF pending on-chip
-# validation (tools/resample_kernel_check.py) and an in-situ sweep
-# A/B -- the chip tunnel went down mid-measurement; two previous
-# challengers to the categorical also lost in situ (see
-# resample_indices' docstring), so this stays opt-in until measured.
-_KERNEL_MODE = _os.environ.get("PHYLO_RESAMPLE_KERNEL", "0")
+# PHYLO_RESAMPLE_KERNEL: "auto" (default) draws the multinomial with
+# the hardware-PRNG Pallas kernel (smc.resample_kernel) on unsharded
+# TPU f32 sweeps at K >= 1024 -- same Gumbel-max distribution, the
+# (K, K) field synthesized and reduced entirely in VMEM; "1" forces,
+# "0" keeps jax.random.categorical.  Validated on chip
+# (tools/resample_kernel_check.py: 512x2048 draws, chi2 1817 on 2047
+# dof, inside the same multinomial band as jax.random.categorical) and
+# the in-situ A/B WINS everywhere (tools/resample_ab.py, v5e: primate
+# K=2048 fwd 5.26 -> 4.16 ms, b256 step 15.1 -> 13.3 ms, DS1 b256
+# step 40.0 -> 37.6 ms) -- unlike the two earlier challengers that
+# lost in situ (see resample_indices' docstring).
+_KERNEL_MODE = _os.environ.get("PHYLO_RESAMPLE_KERNEL", "auto")
 
 
 def resample_indices(key, log_weights, strategy="multinomial"):
