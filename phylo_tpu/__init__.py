@@ -40,11 +40,14 @@ from phylo_tpu.dataio.datasets import (  # noqa: F401
     load_dataset,
 )
 from phylo_tpu.pruning.ancestral import ancestral_marginals  # noqa: F401
+from phylo_tpu.models.selection import select_model  # noqa: F401
 from phylo_tpu.pruning.fixed_tree import (  # noqa: F401
     optimize_branch_lengths,
+    optimize_tree,
     parse_newick,
     tree_log_likelihood,
 )
-from phylo_tpu.search import nni_search  # noqa: F401
+from phylo_tpu.search import neighbor_joining, nni_search  # noqa: F401
+from phylo_tpu.search.nj import jc_distance_matrix  # noqa: F401
 from phylo_tpu.smc.bootstrap import bootstrap_supports  # noqa: F401
 from phylo_tpu.train.trainer import TrainConfig, train  # noqa: F401

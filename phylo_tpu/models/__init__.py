@@ -15,6 +15,12 @@ from phylo_tpu.models.empirical import (  # noqa: F401
     EmpiricalProtein,
     load_paml_dat,
 )
+from phylo_tpu.models.selection import (  # noqa: F401
+    DNA_CANDIDATES,
+    ModelFit,
+    n_free_parameters,
+    select_model,
+)
 from phylo_tpu.models.branches import (  # noqa: F401
     init_branch_params,
     branch_rates,

@@ -9,6 +9,7 @@ from phylo_tpu.pruning.felsenstein import (  # noqa: F401
 )
 from phylo_tpu.pruning.fixed_tree import (  # noqa: F401
     optimize_branch_lengths,
+    optimize_tree,
     parse_newick,
     tree_log_likelihood,
 )

@@ -269,6 +269,58 @@ def tree_log_likelihood(leaves, model, params, record, *, branches=None,
     )
 
 
+def optimize_tree(leaves, model, params, record, *, steps=300,
+                  learning_rate=0.05, site_weights=None, init=None):
+    """Joint ML fit of substitution-model parameters AND branch lengths
+    on a fixed topology (what model-selection / final-tree polishing
+    needs; `optimize_branch_lengths` fits lengths only).
+
+    Adam ascent on `tree_log_likelihood` over {model params,
+    log-branch-lengths}.  Returns (params, branches (R, 2),
+    log_likelihood) at the final step; `params` has the same structure
+    as the input (only params['model'] is updated — models with no free
+    parameters, e.g. JC69, get a branch-only fit).
+    """
+    import optax
+
+    R = np.asarray(record["merges"]).shape[0]
+    if init is None:
+        init = record.get("branches")
+    if init is None:
+        init = np.full((R, 2), 0.1)
+    init = np.maximum(np.asarray(init, dtype=np.float64), 1e-6)
+    theta0 = {
+        "model": params["model"],
+        "log_b": jnp.log(jnp.asarray(init, dtype=leaves.dtype)),
+    }
+
+    def loss(theta):
+        return -tree_log_likelihood(
+            leaves, model, {"model": theta["model"]}, record,
+            branches=jnp.exp(theta["log_b"]).astype(leaves.dtype),
+            site_weights=site_weights,
+        )
+
+    opt = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(theta, state):
+        ll, g = jax.value_and_grad(loss)(theta)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(theta, updates), state, ll
+
+    theta, state = theta0, opt.init(theta0)
+    for _ in range(steps):
+        theta, state, _ = step(theta, state)
+    b = jnp.exp(theta["log_b"])
+    fit_params = dict(params, model=theta["model"])
+    ll = tree_log_likelihood(
+        leaves, model, fit_params, record,
+        branches=b.astype(leaves.dtype), site_weights=site_weights,
+    )
+    return fit_params, b, ll
+
+
 def optimize_branch_lengths(leaves, model, params, record, *, steps=200,
                             learning_rate=0.05, site_weights=None,
                             init=None):

@@ -1,3 +1,8 @@
+from phylo_tpu.search.nj import (  # noqa: F401
+    jc_distance_matrix,
+    neighbor_joining,
+    p_distance_matrix,
+)
 from phylo_tpu.search.nni import (  # noqa: F401
     NNISearchResult,
     nni_neighbors,
