@@ -196,11 +196,15 @@ def nni_neighbors(record, N):
 # ---------------------------------------------------------------------
 
 @dataclass
-class NNISearchResult:
+class TreeSearchResult:
     record: dict            # best tree found (merges + branches)
     log_likelihood: float
     iterations: int
     history: list = field(default_factory=list)   # best ll per iteration
+
+
+# back-compat alias (pre-SPR name)
+NNISearchResult = TreeSearchResult
 
 
 def nni_search(leaves, model, params, record, *, max_iters=50,
@@ -219,7 +223,28 @@ def nni_search(leaves, model, params, record, *, max_iters=50,
     presampled expm) before comparing -- the accepted tree keeps its
     refitted lengths.
 
-    Returns NNISearchResult.
+    Returns TreeSearchResult.
+    """
+    N = jnp.asarray(leaves).shape[0]
+    return hill_climb(
+        leaves, model, params, record, nni_neighbors, 2 * (N - 2) + 1,
+        max_iters=max_iters, branch_opt_steps=branch_opt_steps,
+        learning_rate=learning_rate, tol=tol, site_weights=site_weights,
+        verbose=verbose, tag="NNI",
+    )
+
+
+def hill_climb(leaves, model, params, record, neighbor_fn, K, *,
+               max_iters=50, branch_opt_steps=0, learning_rate=0.05,
+               tol=1e-6, site_weights=None, verbose=False, tag="search"):
+    """Greedy hill-climbing over an arbitrary move set.
+
+    `neighbor_fn(record, N)` returns the candidate neighbors of a tree;
+    `K` is a fixed particle count >= 1 + max neighbors, so the whole
+    search compiles ONCE (shorter candidate lists are padded with
+    copies of the current tree, which tie with slot 0 and are never
+    accepted).  Used by `nni_search` (exact K) and `spr_search`
+    (topology-dependent neighborhood size, padded).
     """
     import optax
 
@@ -231,7 +256,6 @@ def nni_search(leaves, model, params, record, *, max_iters=50,
     if "branches" not in record:
         record = dict(record,
                       branches=np.full((N - 1, 2), 0.1))
-    K = 2 * (N - 2) + 1
     config = SweepConfig(K=K)
     opt = optax.adam(learning_rate)
 
@@ -281,8 +305,9 @@ def nni_search(leaves, model, params, record, *, max_iters=50,
     it = 0
     floor = 1e-6      # log(0) guard for zero-length input edges
     for it in range(1, max_iters + 1):
-        cands = [current] + nni_neighbors(current, N)
-        assert len(cands) == K, (len(cands), K)
+        cands = [current] + neighbor_fn(current, N)
+        assert len(cands) <= K, (len(cands), K)
+        cands = cands + [current] * (K - len(cands))
         dec = records_to_decisions(cands, N, dtype=leaves.dtype)
         log_bl = jnp.log(jnp.maximum(dec["branches_l"], floor))
         log_br = jnp.log(jnp.maximum(dec["branches_r"], floor))
@@ -293,7 +318,7 @@ def nni_search(leaves, model, params, record, *, max_iters=50,
         k_best = int(lls.argmax())
         history.append(float(lls[k_best]))
         if verbose:
-            print(f"NNI iter {it}: current ll {lls[0]:.6f}, best "
+            print(f"{tag} iter {it}: current ll {lls[0]:.6f}, best "
                   f"candidate {k_best} ll {lls[k_best]:.6f}")
         if k_best == 0 or lls[k_best] <= lls[0] + tol:
             # local optimum: keep the current topology (with its
@@ -301,5 +326,5 @@ def nni_search(leaves, model, params, record, *, max_iters=50,
             current, best_ll = refit(cands[0], 0, lls, bl, br)
             break
         current, best_ll = refit(cands[k_best], k_best, lls, bl, br)
-    return NNISearchResult(record=current, log_likelihood=best_ll,
-                           iterations=it, history=history)
+    return TreeSearchResult(record=current, log_likelihood=best_ll,
+                            iterations=it, history=history)
