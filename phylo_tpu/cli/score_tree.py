@@ -56,10 +56,17 @@ def parse_args(argv=None):
                    help="improve the topology by NNI hill-climbing "
                         "(search/nni.py) before scoring; all 2(N-2) "
                         "neighbors score in one batched sweep per step")
-    p.add_argument("--nni_iters", type=int, default=50)
+    p.add_argument("--spr", action="store_true",
+                   help="improve the topology by SPR hill-climbing "
+                        "(search/spr.py): the full prune-regraft "
+                        "neighborhood scores in one batched sweep per "
+                        "step (a superset of the NNI moves)")
+    p.add_argument("--nni_iters", type=int, default=50,
+                   help="max hill-climbing iterations (--nni/--spr)")
     p.add_argument("--nni_branch_steps", type=int, default=20,
-                   help="joint branch-length refit steps per NNI "
-                        "iteration (0 keeps candidate lengths fixed)")
+                   help="joint branch-length refit steps per search "
+                        "iteration (0 keeps candidate lengths fixed; "
+                        "applies to --nni and --spr)")
     p.add_argument("--ancestral", default=None,
                    help="reconstruct marginal ancestral states on the "
                         "scored tree; writes argmax sequences as FASTA "
@@ -145,15 +152,17 @@ def main(argv=None):
     params = {"model": model.init_params(dtype)}
     leaves = jnp.asarray(genome, dtype=dtype)
 
-    if args.nni:
-        from phylo_tpu.search import nni_search
+    if args.nni or args.spr:
+        from phylo_tpu.search import nni_search, spr_search
 
-        res = nni_search(
+        search = spr_search if args.spr else nni_search
+        res = search(
             leaves, model, params, record, max_iters=args.nni_iters,
             branch_opt_steps=args.nni_branch_steps, verbose=True,
         )
         record = res.record
-        print(f"NNI search: {res.iterations} iterations, "
+        print(f"{'SPR' if args.spr else 'NNI'} search: "
+              f"{res.iterations} iterations, "
               f"log-likelihood {res.log_likelihood:.6f}")
 
     branches = record.get("branches")

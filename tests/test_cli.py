@@ -113,6 +113,20 @@ def test_cli_score_tree_nni(tmp_path):
     assert open(out).read().strip().endswith(";")
 
 
+def test_cli_score_tree_spr(tmp_path):
+    from phylo_tpu.cli.score_tree import main as score_main
+
+    out = str(tmp_path / "ml_spr.nwk")
+    nwk = "((S0:0.1,S2:0.1):0.1,(S1:0.1,S3:0.1):0.1);"
+    ll_fixed = score_main(["--dataset=load_strings", f"--newick={nwk}",
+                           "--model=jc69"])
+    ll_spr = score_main(["--dataset=load_strings", f"--newick={nwk}",
+                         "--model=jc69", "--spr", "--nni_iters=5",
+                         "--nni_branch_steps=10", f"--out={out}"])
+    assert ll_spr >= ll_fixed - 1e-6
+    assert open(out).read().strip().endswith(";")
+
+
 def test_cli_bootstrap(tmp_path):
     from phylo_tpu.cli.bootstrap import main as boot_main
 
