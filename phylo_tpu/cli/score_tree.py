@@ -52,15 +52,22 @@ def parse_args(argv=None):
     p.add_argument("--out", default=None,
                    help="write the scored tree (final branch lengths) "
                         "as Newick to this path")
-    p.add_argument("--nni", action="store_true",
-                   help="improve the topology by NNI hill-climbing "
-                        "(search/nni.py) before scoring; all 2(N-2) "
-                        "neighbors score in one batched sweep per step")
-    p.add_argument("--spr", action="store_true",
-                   help="improve the topology by SPR hill-climbing "
-                        "(search/spr.py): the full prune-regraft "
-                        "neighborhood scores in one batched sweep per "
-                        "step (a superset of the NNI moves)")
+    search_group = p.add_mutually_exclusive_group()
+    search_group.add_argument(
+        "--nni", action="store_true",
+        help="improve the topology by NNI hill-climbing "
+             "(search/nni.py) before scoring; all 2(N-2) "
+             "neighbors score in one batched sweep per step")
+    search_group.add_argument(
+        "--spr", action="store_true",
+        help="improve the topology by SPR hill-climbing "
+             "(search/spr.py): the full prune-regraft "
+             "neighborhood scores in one batched sweep per "
+             "step (a superset of the NNI moves)")
+    p.add_argument("--search_chunk", type=int, default=2048,
+                   help="cap on candidates scored per sweep during "
+                        "--nni/--spr (larger neighborhoods are split "
+                        "into equal-shape chunks; 0 = no cap)")
     p.add_argument("--nni_iters", type=int, default=50,
                    help="max hill-climbing iterations (--nni/--spr)")
     p.add_argument("--nni_branch_steps", type=int, default=20,
@@ -159,6 +166,7 @@ def main(argv=None):
         res = search(
             leaves, model, params, record, max_iters=args.nni_iters,
             branch_opt_steps=args.nni_branch_steps, verbose=True,
+            max_particles=args.search_chunk or None,
         )
         record = res.record
         print(f"{'SPR' if args.spr else 'NNI'} search: "

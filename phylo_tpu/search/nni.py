@@ -209,7 +209,7 @@ NNISearchResult = TreeSearchResult
 
 def nni_search(leaves, model, params, record, *, max_iters=50,
                branch_opt_steps=0, learning_rate=0.05, tol=1e-6,
-               site_weights=None, verbose=False):
+               site_weights=None, verbose=False, max_particles=None):
     """Greedy NNI hill-climbing from a starting tree.
 
     Each iteration scores the current tree plus its 2(N-2) NNI
@@ -230,13 +230,14 @@ def nni_search(leaves, model, params, record, *, max_iters=50,
         leaves, model, params, record, nni_neighbors, 2 * (N - 2) + 1,
         max_iters=max_iters, branch_opt_steps=branch_opt_steps,
         learning_rate=learning_rate, tol=tol, site_weights=site_weights,
-        verbose=verbose, tag="NNI",
+        verbose=verbose, tag="NNI", max_particles=max_particles,
     )
 
 
 def hill_climb(leaves, model, params, record, neighbor_fn, K, *,
                max_iters=50, branch_opt_steps=0, learning_rate=0.05,
-               tol=1e-6, site_weights=None, verbose=False, tag="search"):
+               tol=1e-6, site_weights=None, verbose=False, tag="search",
+               max_particles=None):
     """Greedy hill-climbing over an arbitrary move set.
 
     `neighbor_fn(record, N)` returns the candidate neighbors of a tree;
@@ -245,6 +246,12 @@ def hill_climb(leaves, model, params, record, neighbor_fn, K, *,
     copies of the current tree, which tie with slot 0 and are never
     accepted).  Used by `nni_search` (exact K) and `spr_search`
     (topology-dependent neighborhood size, padded).
+
+    `max_particles` caps the per-sweep batch: neighborhoods larger than
+    max_particles - 1 are split into equal-shape chunks (slot 0 of
+    every chunk is the current tree), still a single compilation.
+    Sweep memory scales as K*N*S*A, so large-N SPR (K ~ 4N^2) needs
+    this — e.g. 64 taxa is ~15k candidates.
     """
     import optax
 
@@ -256,6 +263,8 @@ def hill_climb(leaves, model, params, record, neighbor_fn, K, *,
     if "branches" not in record:
         record = dict(record,
                       branches=np.full((N - 1, 2), 0.1))
+    if max_particles is not None:
+        K = max(2, min(K, int(max_particles)))
     config = SweepConfig(K=K)
     opt = optax.adam(learning_rate)
 
@@ -305,26 +314,40 @@ def hill_climb(leaves, model, params, record, neighbor_fn, K, *,
     it = 0
     floor = 1e-6      # log(0) guard for zero-length input edges
     for it in range(1, max_iters + 1):
-        cands = [current] + neighbor_fn(current, N)
-        assert len(cands) <= K, (len(cands), K)
-        cands = cands + [current] * (K - len(cands))
-        dec = records_to_decisions(cands, N, dtype=leaves.dtype)
-        log_bl = jnp.log(jnp.maximum(dec["branches_l"], floor))
-        log_br = jnp.log(jnp.maximum(dec["branches_r"], floor))
-        lls, log_bl, log_br = evaluate(dec["pairs"], log_bl, log_br)
-        lls = np.asarray(lls, np.float64)
-        bl = np.exp(np.asarray(log_bl, np.float64))
-        br = np.exp(np.asarray(log_br, np.float64))
-        k_best = int(lls.argmax())
-        history.append(float(lls[k_best]))
+        neighbors = neighbor_fn(current, N)
+        if max_particles is None and len(neighbors) + 1 > K:
+            raise ValueError(
+                f"neighbor_fn produced {len(neighbors)} candidates, "
+                f"exceeding the declared padding bound K={K}"
+            )
+        cur_refit = None      # current tree refit (chunk 0, slot 0)
+        cand_refit = None     # best candidate across chunks
+        for start in range(0, max(1, len(neighbors)), K - 1):
+            chunk = [current] + neighbors[start:start + K - 1]
+            chunk = chunk + [current] * (K - len(chunk))
+            dec = records_to_decisions(chunk, N, dtype=leaves.dtype)
+            log_bl = jnp.log(jnp.maximum(dec["branches_l"], floor))
+            log_br = jnp.log(jnp.maximum(dec["branches_r"], floor))
+            lls, log_bl, log_br = evaluate(dec["pairs"], log_bl, log_br)
+            lls = np.asarray(lls, np.float64)
+            bl = np.exp(np.asarray(log_bl, np.float64))
+            br = np.exp(np.asarray(log_br, np.float64))
+            if cur_refit is None:
+                # per-particle refits are column-independent, so the
+                # current tree scores identically in every chunk
+                cur_refit = refit(chunk[0], 0, lls, bl, br)
+            k_best = int(lls.argmax())
+            if cand_refit is None or float(lls[k_best]) > cand_refit[1]:
+                cand_refit = refit(chunk[k_best], k_best, lls, bl, br)
+        history.append(max(cur_refit[1], cand_refit[1]))
         if verbose:
-            print(f"{tag} iter {it}: current ll {lls[0]:.6f}, best "
-                  f"candidate {k_best} ll {lls[k_best]:.6f}")
-        if k_best == 0 or lls[k_best] <= lls[0] + tol:
+            print(f"{tag} iter {it}: current ll {cur_refit[1]:.6f}, "
+                  f"best candidate ll {cand_refit[1]:.6f}")
+        if cand_refit[1] <= cur_refit[1] + tol:
             # local optimum: keep the current topology (with its
             # refitted branch lengths when branch_opt_steps > 0)
-            current, best_ll = refit(cands[0], 0, lls, bl, br)
+            current, best_ll = cur_refit
             break
-        current, best_ll = refit(cands[k_best], k_best, lls, bl, br)
+        current, best_ll = cand_refit
     return TreeSearchResult(record=current, log_likelihood=best_ll,
                             iterations=it, history=history)

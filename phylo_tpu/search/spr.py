@@ -16,9 +16,11 @@ topology: pruning node c leaves a tree with 2N-2-|subtree(c)| nodes,
 so the move count is (2N-2)(2N-3) - sum_c |subtree(c)|.  To keep the
 batch shape — and therefore the compilation — constant across
 hill-climbing steps, `spr_search` pads the candidate list to the
-topology-independent upper bound K = 1 + (2N-2)(2N-4) (reached when
-every pruned subtree is a single leaf, |subtree(c)| = 1) with copies
-of the current tree; pads tie with slot 0 and are never accepted.
+topology-independent upper bound K = 1 + (2N-2)(2N-4) (valid because
+sum_c |subtree(c)| >= 2N-2 — every pruned subtree contains at least
+its own root — though never tight for N >= 3, since internal subtrees
+have |subtree| >= 3) with copies of the current tree; pads tie with
+slot 0 and are never accepted.
 
 Branch-length conventions on regraft (standard; any choice is washed
 out by `branch_opt_steps` refitting):
@@ -124,7 +126,7 @@ def spr_neighbors(record, N):
 
 def spr_search(leaves, model, params, record, *, max_iters=50,
                branch_opt_steps=0, learning_rate=0.05, tol=1e-6,
-               site_weights=None, verbose=False):
+               site_weights=None, verbose=False, max_particles=None):
     """Greedy SPR hill-climbing from a starting tree.
 
     Each iteration scores the current tree plus its full SPR
@@ -132,6 +134,11 @@ def spr_search(leaves, model, params, record, *, max_iters=50,
     (constant: single compilation for the whole search), accepts the
     best strictly-improving neighbor, and stops at a local optimum or
     `max_iters`.  See `nni.hill_climb` for `branch_opt_steps`.
+
+    Sweep memory scales as K*N*S*A with K ~ 4N^2, so moderate N (64
+    taxa -> ~15k candidates) needs `max_particles` to chunk the
+    neighborhood into equal-shape sub-batches (one compilation still;
+    see `nni.hill_climb`).
 
     Returns TreeSearchResult.
     """
@@ -143,5 +150,5 @@ def spr_search(leaves, model, params, record, *, max_iters=50,
         1 + spr_neighborhood_size(N),
         max_iters=max_iters, branch_opt_steps=branch_opt_steps,
         learning_rate=learning_rate, tol=tol, site_weights=site_weights,
-        verbose=verbose, tag="SPR",
+        verbose=verbose, tag="SPR", max_particles=max_particles,
     )

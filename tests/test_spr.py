@@ -125,3 +125,35 @@ def test_spr_search_recovers_true_topology():
     nni_res = nni_search(leaves, m, params, start_rec, max_iters=20,
                          branch_opt_steps=10, learning_rate=0.1)
     assert res.log_likelihood >= nni_res.log_likelihood - 1e-6
+
+
+def test_spr_search_chunked_matches_unchunked():
+    """max_particles chunking is a pure batching change: identical
+    search trajectory and result (per-particle refits are
+    column-independent, so chunk composition cannot affect scores)."""
+    from phylo_tpu.dataio.simulate import simulate_on_tree
+
+    true_nwk = ("(((A:0.08,B:0.08):0.12,(C:0.08,D:0.08):0.12):0.10,"
+                "(E:0.08,F:0.08):0.22);")
+    taxa, true_rec = parse_newick(true_nwk)
+    m = JC69(A=4)
+    ds = simulate_on_tree(true_rec, m, {"model": {}}, 200, seed=13,
+                          taxa=taxa)
+    leaves = jnp.asarray(ds.genome, jnp.float64)
+    params = _full_params(m, ds.N)
+    start_nwk = ("(((((A:0.2,F:0.2):0.2,C:0.2):0.2,E:0.2):0.2,"
+                 "B:0.2):0.2,D:0.2);")
+    _, start_rec = parse_newick(start_nwk, taxa=taxa)
+
+    full = spr_search(leaves, m, params, start_rec, max_iters=6,
+                      branch_opt_steps=5, learning_rate=0.1)
+    # N=6: neighborhood bound is 80; chunk at 17 -> ~5 chunks/iter
+    chunked = spr_search(leaves, m, params, start_rec, max_iters=6,
+                         branch_opt_steps=5, learning_rate=0.1,
+                         max_particles=17)
+    assert chunked.iterations == full.iterations
+    np.testing.assert_allclose(chunked.log_likelihood,
+                               full.log_likelihood, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(chunked.history),
+                               np.asarray(full.history), rtol=1e-10)
+    assert robinson_foulds(taxa, chunked.record, full.record) == 0
