@@ -22,19 +22,15 @@ import numpy as np
 from phylo_tpu.dataio.alphabets import DNA_ALPHABET, encode_strings
 
 def _default_data_root():
-    """Dataset search order: $PHYLO_TPU_DATA, a repo-local data/ vendored
-    by tools/vendor_data.py, then the reference checkout on this box.
-    The repo ships no alignment blobs itself; vendor or point the env
-    var at a data directory for a standalone deployment."""
+    """Dataset search order: $PHYLO_TPU_DATA, then the repo-local data/
+    directory (vendored, with SHA256SUMS; re-creatable from a reference
+    checkout via tools/vendor_data.py)."""
     env = os.environ.get("PHYLO_TPU_DATA")
     if env:
         return env
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    local = os.path.join(here, "data")
-    if os.path.isdir(local):
-        return local
-    return "/root/reference/data"
+    return os.path.join(here, "data")
 
 
 DEFAULT_DATA_ROOT = _default_data_root()

@@ -134,8 +134,14 @@ def test_vendor_data_and_env_override(tmp_path, monkeypatch):
     finally:
         sys.path.pop(0)
 
-    copied, missing = vendor_data.vendor("/root/reference/data",
-                                         str(tmp_path))
+    # source from the repo's own vendored data/ so a fresh clone needs
+    # no reference checkout
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(
+        vendor_data.__file__)))
+    copied, missing = vendor_data.vendor(
+        os.path.join(repo, "data"), str(tmp_path))
     assert "primate.p" in copied
 
     monkeypatch.setenv("PHYLO_TPU_DATA", str(tmp_path))
