@@ -26,6 +26,70 @@ sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 
+# Single-chip peaks for the utilization figures (public v5e specs:
+# 197 TFLOP/s bf16 on the MXU, 819 GB/s HBM).  The sweep's hot loops
+# are explicit f32 VPU multiply-adds (tiny A x A contractions -- see
+# CLAUDE.md on bf16 dot_general), so `mfu` vs the bf16 MXU peak is
+# honest-but-tiny by construction and `hbm_frac` is the meaningful
+# number: the workload is bandwidth-bound (ROADMAP item 3 xprof data:
+# the expm presample alone sits at the HBM roofline).
+PEAK_FLOPS = 197e12        # bf16 MXU, v5e
+PEAK_HBM = 819e9           # bytes/s, v5e
+
+
+def _pad128(S):
+    return -(-S // 128) * 128
+
+
+def roofline(N, S, A, K, *, steps_fwd=0, steps_bwd=0, R=None):
+    """Analytic FLOP / HBM-byte counts for `steps_fwd` forward sweeps
+    plus `steps_bwd` backward passes at (N, S, A, K).
+
+    Per rank the merge reads two (K, A, Sp) children and writes one
+    merged message (3 K A Sp words fwd); the manual-VJP backward
+    re-gathers the children, reads the pending column and writes two
+    child cotangents plus a scatter-add read/write (~7 K A Sp words).
+    Merge compute is 2 A x A matvecs + hadamard + rescale + root
+    reduction ~ (4A^2 + 8A) flops/site.  The expm presample moves
+    (R, 2K, A, A) in and out of the VMEM-resident kernel (2 words per
+    element fwd, 3 bwd) and burns ~2 (order + squarings) A^3 flops per
+    element.  Everything else (resampling, bookkeeping) is O(K R)
+    words -- negligible.
+    """
+    R = (N - 1) if R is None else R
+    Sp = _pad128(S)
+    w = 4                                     # f32 bytes
+    merge_fwd_bytes = R * 3 * K * A * Sp * w
+    merge_bwd_bytes = R * 7 * K * A * Sp * w
+    merge_flops = R * K * Sp * (4 * A * A + 8 * A)
+    expm_el = R * 2 * K * A * A
+    expm_fwd_bytes = 2 * expm_el * w
+    expm_bwd_bytes = 3 * expm_el * w
+    expm_flops = R * 2 * K * 2 * 23 * A ** 3
+    fb = steps_fwd + steps_bwd                # bwd re-runs the compute
+    return {
+        "flops": fb * (merge_flops + expm_flops)
+                 + steps_bwd * merge_flops,   # bwd ~ 2x merge compute
+        "hbm_bytes": steps_fwd * (merge_fwd_bytes + expm_fwd_bytes)
+                     + steps_bwd * (merge_bwd_bytes + expm_bwd_bytes),
+    }
+
+
+def utilization(counts, seconds):
+    """mfu / hbm_frac / bound from analytic counts + measured time."""
+    fl = counts["flops"] / seconds
+    bw = counts["hbm_bytes"] / seconds
+    hbm_frac = bw / PEAK_HBM
+    mfu = fl / PEAK_FLOPS
+    return {
+        "achieved_gflops_per_s": round(fl / 1e9, 1),
+        "achieved_hbm_gb_per_s": round(bw / 1e9, 1),
+        "mfu": round(mfu, 6),
+        "hbm_frac": round(hbm_frac, 4),
+        "bound": "hbm" if hbm_frac > 20 * mfu else "compute",
+    }
+
+
 def measure_baseline(genome, K, batch):
     """Reference-equivalent torch-CPU epoch seconds (cached)."""
     key = f"primate_K{K}_B{batch}"
@@ -199,6 +263,9 @@ def measure_details():
             "fwd_sweep_ms": round(t * 1000, 3),
             "elbo": float(e),
         }
+        if cfg.twist is None:   # formulas don't model the enumeration
+            out[label or f"{ds_name}_K{K}"].update(utilization(
+                roofline(ds.N, ds.S, ds.A, K, steps_fwd=1), t))
 
     # 1. JC69 CSMC, primates_small, K=128 (fixed params, fwd only)
     fwd_time("primate_data_wang", JC69, 128, label="jc69_csmc_small")
@@ -256,6 +323,10 @@ def measure_details():
             "train_step_ms": round(t * 1000, 3),
             "elbo": -float(v),
         }
+        if cfg.twist is None:
+            out[label].update(utilization(
+                roofline(ds.N, ds.S, ds.A, K,
+                         steps_fwd=1, steps_bwd=1), t))
 
     step_time("betacorona1", 32, dict(twist=TwistConfig(M=10)), 3,
               "vncsmc_betacorona_step")
@@ -294,6 +365,46 @@ def measure_details():
     out["gamma_primate_step"] = {
         "config": "primate_data GammaSites G=4 K=512 full-S fwd+grad "
                   "(blocked fused rank kernels + manual VJP)",
+        "train_step_ms": round(t * 1000, 3),
+        "elbo": -float(v),
+    }
+
+    # 5c. untimed-regime anchors (VERDICT r3 item 3).  DS4's R = 40
+    #     exceeds the 32-rank unroll cap, so this is the SCANNED fused
+    #     path none of the other rows measure; spikeGP is the A=7
+    #     alphabet the reference ships.
+    fwd_time("hohna_data_4", ReferenceQ, 2048, iters=5, label="ds4_2048")
+    step_time("hohna_data_4", 2048, None, 3, "ds4_2048_step")
+    attach_baseline("ds4_2048_step", "ds4_K2048_fullS_step",
+                    "step_seconds",
+                    out["ds4_2048_step"]["train_step_ms"] / 1000)
+    fwd_time("spike_data", ReferenceQ, 2048, iters=5, label="spike_a7")
+    step_time("spike_data", 2048, None, 3, "spike_a7_step")
+    attach_baseline("spike_a7_step", "spike_K2048_fullS_step",
+                    "step_seconds",
+                    out["spike_a7_step"]["train_step_ms"] / 1000)
+
+    # 5d. protein + Gamma (A = 20, G = 4 -> A' = 80 product space, jnp
+    #     blocked-merge path): the reference is DNA-only, so this row
+    #     has no CPU anchor -- it pins the regime's absolute time.
+    rngp = np.random.default_rng(7)
+    prot = np.eye(20)[rngp.integers(0, 20, (16, 500))]
+    pmodel = GammaSites(ReferenceQ(A=20), G=4)
+    pparams = {
+        "model": pmodel.init_params(jnp.float32),
+        "branches": init_branch_params(16, dtype=jnp.float32),
+    }
+    pleaves = jnp.asarray(pmodel.expand_leaves(prot), jnp.float32)
+    pcfg = SweepConfig(K=256)
+
+    def ploss(p, key):
+        return -sample_phylogenies(key, pleaves, pmodel, p, pcfg).elbo
+
+    pfn = jax.jit(jax.value_and_grad(ploss))
+    t, (v, _) = timed(pfn, pparams, jax.random.PRNGKey(0), iters=5)
+    out["protein_gamma_step"] = {
+        "config": "simulated protein 16x500 A=20 GammaSites G=4 K=256 "
+                  "full-S fwd+grad",
         "train_step_ms": round(t * 1000, 3),
         "elbo": -float(v),
     }
@@ -403,6 +514,16 @@ def main():
     else:
         baseline = measure_baseline(ds.genome, args.K, args.batch)
 
+    # absolute-hardware utilization for the measured epoch: n_batches
+    # train steps (fwd+bwd at `batch` sites) + one full-S eval sweep
+    N, S, A = ds.genome.shape
+    n_batches = max(1, S // args.batch)
+    c_train = roofline(N, args.batch, A, args.K,
+                       steps_fwd=n_batches, steps_bwd=n_batches)
+    c_eval = roofline(N, S, A, args.K, steps_fwd=1)
+    counts = {k: c_train[k] + c_eval[k] for k in c_train}
+    util = utilization(counts, per_epoch)
+
     out = {
         "metric": (
             f"primate.p VCSMC epoch wall-clock (K={args.K}, "
@@ -413,6 +534,7 @@ def main():
         "vs_baseline": (
             round(baseline / per_epoch, 2) if baseline else None
         ),
+        **util,
     }
     print(json.dumps(out))
 

@@ -150,6 +150,93 @@ def anchor_jc69_small():
     })
 
 
+def _anchor_slope(key, make_model, ds, impl, points=(128, 512),
+                  cached_256=None):
+    """De-extrapolate (VERDICT r3 item 5): measure the torch step at
+    several site counts, fit t = a + b*S by least squares, and record
+    the fitted full-S value alongside every measured point.  The slope
+    replaces the single-point linear scaling; the intercept captures
+    the site-independent bookkeeping the old extrapolation ignored."""
+    import numpy as np
+
+    m = make_model()
+    pts = {}
+    if cached_256 is not None:
+        pts[256] = cached_256
+    for S_batch in points:
+        pts[S_batch] = _step_seconds(m, S_batch)
+        print(f"{key}: S={S_batch} -> {pts[S_batch]:.2f}s", flush=True)
+    xs = np.array(sorted(pts))
+    ys = np.array([pts[x] for x in xs])
+    b_fit, a_fit = np.polyfit(xs, ys, 1)
+    full = a_fit + b_fit * ds.S
+    _update_cache(key, {
+        "step_seconds": round(float(full), 2),
+        "measured_points": {str(int(x)): round(float(pts[x]), 2)
+                            for x in xs},
+        "fit": f"t = {a_fit:.2f} + {b_fit:.4f}*S (least squares over "
+               f"{len(xs)} site counts), evaluated at S={ds.S}",
+        "impl": impl,
+    })
+
+
+def anchor_slopes():
+    """Multi-point site-count fits for the two previously extrapolated
+    anchors (run AFTER ds1/betacorona so the 256 point is cached)."""
+    from baselines.torch_reference import TorchVCSMC, TorchVNCSMC
+
+    from phylo_tpu.dataio import load_dataset
+
+    cache = {}
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+    ds1 = load_dataset("hohna_data_1")
+    c = cache.get("ds1_K2048_fullS_step", {})
+    _anchor_slope(
+        "ds1_K2048_fullS_step", lambda: TorchVCSMC(ds1.genome, K=2048),
+        ds1, "baselines/torch_reference.py TorchVCSMC float64 CPU "
+             "fwd+grad (reference-equivalent recursion)",
+        cached_256=c.get("measured_step_seconds"))
+    dsb = load_dataset("betacorona1")
+    c = cache.get("betacorona_vncsmc_K32_M10_fullS_step", {})
+    _anchor_slope(
+        "betacorona_vncsmc_K32_M10_fullS_step",
+        lambda: TorchVNCSMC(dsb.genome, K=32, M=10),
+        dsb, "baselines/torch_reference.py TorchVNCSMC float64 CPU "
+             "fwd+grad (reference-equivalent nested recursion)",
+        cached_256=c.get("measured_step_seconds"))
+
+
+def anchor_ds4():
+    """Hohna DS4 (41 x 1137): the scanned-fused-path regime (R = 40
+    exceeds the 32-rank unroll cap).  Slope-fitted like anchor_slopes."""
+    from baselines.torch_reference import TorchVCSMC
+
+    from phylo_tpu.dataio import load_dataset
+
+    ds = load_dataset("hohna_data_4")
+    _anchor_slope(
+        "ds4_K2048_fullS_step", lambda: TorchVCSMC(ds.genome, K=2048),
+        ds, "baselines/torch_reference.py TorchVCSMC float64 CPU "
+            "fwd+grad (reference-equivalent recursion)",
+        points=(128, 256))
+
+
+def anchor_spike():
+    """spikeGP (22 x 1541, A=7): the wide-alphabet regime."""
+    from baselines.torch_reference import TorchVCSMC
+
+    from phylo_tpu.dataio import load_dataset
+
+    ds = load_dataset("spike_data")
+    _anchor_slope(
+        "spike_K2048_fullS_step", lambda: TorchVCSMC(ds.genome, K=2048),
+        ds, "baselines/torch_reference.py TorchVCSMC float64 CPU "
+            "fwd+grad (reference-equivalent recursion, A=7)",
+        points=(128, 256))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("jc69", "all"):
@@ -160,3 +247,9 @@ if __name__ == "__main__":
         anchor_ds1()
     if which in ("betacorona", "all"):
         anchor_betacorona()
+    if which in ("slopes",):
+        anchor_slopes()
+    if which in ("ds4",):
+        anchor_ds4()
+    if which in ("spike",):
+        anchor_spike()

@@ -34,7 +34,10 @@ def main():
     logits = jnp.asarray(rng.gumbel(size=K) * 2.0, jnp.float32)
     p = np.asarray(jax.nn.softmax(logits), np.float64)
 
-    n_rounds = 512
+    # 512 rounds timed out round 4 on the remote-compile relay (the
+    # two lax.map compiles alone took most of the 30-min budget);
+    # 192 rounds keeps dof ~ K-1 power while fitting the window
+    n_rounds = int(os.environ.get("PHYLO_RESAMPLE_CHECK_ROUNDS", "192"))
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(n_rounds))
 
     # one device-side lax.map per path (sequential scan -- no pallas
@@ -50,11 +53,14 @@ def main():
             lambda k: jax.random.categorical(k, logits, shape=(K,)),
             keys)
 
-    counts = {
-        "kernel": np.bincount(
-            np.asarray(all_k(keys)).ravel(), minlength=K),
-        "jax": np.bincount(np.asarray(all_j(keys)).ravel(), minlength=K),
-    }
+    import time
+    t0 = time.time()
+    ck = np.bincount(np.asarray(all_k(keys)).ravel(), minlength=K)
+    print(f"kernel draws done in {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    cj = np.bincount(np.asarray(all_j(keys)).ravel(), minlength=K)
+    print(f"jax draws done in {time.time()-t0:.1f}s", flush=True)
+    counts = {"kernel": ck, "jax": cj}
 
     n = n_rounds * K
     out = {}
