@@ -44,13 +44,14 @@ import jax.numpy as jnp
 # "1" forces it, "0" disables.
 _KERNEL_MODE = _os.environ.get("PHYLO_EXPM_KERNEL", "auto")
 
-# Sticky per-process guard: pallas_call has no GSPMD partitioning rule,
-# so the "auto" gate must not engage inside mesh-sharded sweeps (see
-# utils.pallas_gate).  PHYLO_EXPM_KERNEL=1 still forces the kernel.
-from phylo_tpu.utils.pallas_gate import (  # noqa: F401  (re-export)
-    notify_sharded_trace,
-    sharded_trace_seen as _sharded_trace_seen,
-)
+# Sharded traces: pallas_call has no partitioning rule of its own, so
+# under a mesh the Shardy partitioner runs the kernel fully REPLICATED
+# (each device computes the whole batch) -- correct, and no slower than
+# one chip, but no speedup either.  The sweep's presample instead wraps
+# the transition call in shard_map over the 'k' axis
+# (smc.sweep._presample_transitions) so each shard runs this kernel on
+# its local batch; everywhere else replicated execution is acceptable
+# (the round-3 sticky process-wide stand-down gate is gone).
 
 
 def jc69_transition(b, A=4):
@@ -101,7 +102,6 @@ def expm_ctmc(Q, b, *, order=12, squarings=12):
     use_kernel = (
         _KERNEL_MODE == "1"
         or (_KERNEL_MODE == "auto"
-            and not _sharded_trace_seen()
             and jax.default_backend() == "tpu"
             and dtype == jnp.float32
             # the kernel unrolls A^2 entry vectors (Mosaic budget) and

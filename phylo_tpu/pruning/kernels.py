@@ -1769,3 +1769,96 @@ def fused_rank_bwd_saved(m1, m2, gm, gr, gl, P_l, P_r, pi, weights):
     dpl = dpl.reshape((K,) + P_l.shape[1:])
     dpr = dpr.reshape((K,) + P_r.shape[1:])
     return dm1, dm2, dpl, dpr, dpi[:1], dw[:1]
+
+
+# ---------------------------------------------------------------------
+# shard_map wrappers: fused rank kernels on site-sharded meshes
+# ---------------------------------------------------------------------
+# pallas_call has no partitioning rule, so under a mesh the partitioner
+# would run these kernels fully replicated (each device computing the
+# whole batch).  On a mesh that shards ONLY the site axis the kernels
+# are legal per shard -- every particle row is device-local, so the
+# cross-particle DMA re-gathers never leave the shard, and the only
+# cross-site quantities (rootll / d_lsc / dP / dpi site-sums) are
+# additive -- one psum over 's'.  Particle-sharded meshes ('k' > 1)
+# CANNOT run them (buf[row, ...] may point at another device's shard);
+# the sweep keeps the jnp path there and lets the partitioner insert
+# the gathers.  check_vma=False everywhere: these wrappers sit on
+# no-AD paths (the manual whole-sweep VJP intercepts differentiation),
+# so the vma machinery buys nothing and pallas_call has no vma rule.
+
+def site_sharded_mesh(shardings):
+    """The mesh when it shards only the site axis (every non-'s' axis
+    has size 1); None otherwise."""
+    if shardings is None:
+        return None
+    mesh = shardings.mesh
+    shape = dict(mesh.shape)
+    if shape.get("s", 1) <= 1:
+        return None
+    if any(v != 1 for k, v in shape.items() if k != "s"):
+        return None
+    return mesh
+
+
+def shard_alloc_rank_buffer(mesh, K, R, GA, Sp, dtype):
+    """alloc_rank_buffer with each device allocating its own site
+    shard (avoids materializing + resharding a replicated buffer)."""
+    from jax.sharding import PartitionSpec as P
+
+    ns = mesh.shape["s"]
+    return jax.shard_map(
+        lambda: alloc_rank_buffer(K, R, GA, Sp // ns, dtype),
+        mesh=mesh, in_specs=(),
+        out_specs=P(None, None, None, "s"), check_vma=False,
+    )()
+
+
+def shard_fused_rank_update(mesh, save_children=False):
+    """fused_rank_update over an 's'-only mesh: per-shard kernel +
+    psum of the site-summed scalars.  Same contract; rootll/d_lsc come
+    back replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(leaves, buf, idx, outc, P_l, P_r, pi, weights):
+        outs = fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi,
+                                 weights, save_children=save_children)
+        buf_o, rootll, d_lsc = outs[:3]
+        rootll = jax.lax.psum(rootll, "s")
+        d_lsc = jax.lax.psum(d_lsc, "s")
+        return (buf_o, rootll, d_lsc) + tuple(outs[3:])
+
+    in_specs = (P(None, None, "s"), P(None, None, None, "s"),
+                P(), P(), P(), P(), P(), P("s"))
+    out_specs = (P(None, None, None, "s"), P(), P())
+    if save_children:
+        out_specs += (P(None, None, "s"), P(None, None, "s"))
+    return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+def shard_fused_rank_bwd(mesh, saved=False):
+    """fused_rank_bwd / fused_rank_bwd_saved over an 's'-only mesh:
+    per-shard kernel + psum of the site-summed cotangents (dPl, dPr,
+    dpi); dm1/dm2/dw stay site-sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(*args):
+        fn = fused_rank_bwd_saved if saved else fused_rank_bwd
+        dm1, dm2, dpl, dpr, dpi, dw = fn(*args)
+        dpl = jax.lax.psum(dpl, "s")
+        dpr = jax.lax.psum(dpr, "s")
+        dpi = jax.lax.psum(dpi, "s")
+        return dm1, dm2, dpl, dpr, dpi, dw
+
+    sm3 = P(None, None, "s")
+    if saved:
+        # (m1, m2, gm, gr, gl, P_l, P_r, pi, weights)
+        in_specs = (sm3, sm3, sm3, P(), P(), P(), P(), P(), P("s"))
+    else:
+        # (leaves, buf, idx, gm, gr, gl, P_l, P_r, pi, weights)
+        in_specs = (sm3, P(None, None, None, "s"), P(), sm3, P(), P(),
+                    P(), P(), P(), P("s"))
+    out_specs = (sm3, sm3, P(), P(), P(), P(None, "s"))
+    return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)

@@ -66,15 +66,15 @@ def resample_indices(key, log_weights, strategy="multinomial"):
                 and K >= 1024)
         )
         if use_kernel:
-            from phylo_tpu.utils.pallas_gate import sharded_trace_seen
+            # under a sharded trace the partitioner runs this kernel
+            # replicated (deterministic per-seed, identical on every
+            # shard) -- the (K,) operand/result make that free
+            from phylo_tpu.smc.resample_kernel import (
+                categorical_pallas,
+            )
 
-            if _KERNEL_MODE == "1" or not sharded_trace_seen():
-                from phylo_tpu.smc.resample_kernel import (
-                    categorical_pallas,
-                )
-
-                return categorical_pallas(
-                    key, log_norm.astype(jnp.float32))
+            return categorical_pallas(
+                key, log_norm.astype(jnp.float32))
         return jax.random.categorical(key, log_norm, shape=(K,))
     log_norm = log_weights - jnp.max(log_weights)
     cdf = jnp.cumsum(jnp.exp(log_norm))

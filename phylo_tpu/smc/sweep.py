@@ -277,18 +277,55 @@ _resample_tables.defvjp(_resample_tables_fwd, _resample_tables_bwd)
 
 
 def _presample_transitions(model, model_params, rates_l, rates_r,
-                           eps_l, eps_r, dtype, blocked=False):
+                           eps_l, eps_r, dtype, blocked=False,
+                           shardings=None):
     """Branch lengths b = eps / rate (pathwise-differentiable in the
     rates) and ONE batched transition call for all ranks' branches.
     Shared by the sweep prologue and the manual-VJP prologue
-    (sweep_vjp) so both linearize at identical values."""
+    (sweep_vjp) so both linearize at identical values.
+
+    Under a particle-sharded mesh ('k' axis, K divisible), the
+    transition call runs inside `jax.shard_map` so each device
+    computes its own K-shard -- this is what lets the Pallas expm
+    kernel (no partitioning rule of its own; the partitioner would
+    otherwise replicate it) keep its single-chip fast path per shard.
+    The per-shard batch is bit-identical to the corresponding slice of
+    the unsharded batch, so results match exactly; the replicated
+    model-params cotangent is psum'd across shards by shard_map's
+    transpose."""
     b_l_all = eps_l / rates_l[:, None]
     b_r_all = eps_r / rates_r[:, None]
     transition = (model.transition_blocks if blocked
                   else model.transition)
-    P_all = transition(
-        model_params, jnp.concatenate([b_l_all, b_r_all], axis=1)
-    ).astype(dtype)              # (R, 2K, A, A) / (R, 2K, G, A, A)
+    b_cat = jnp.concatenate([b_l_all, b_r_all], axis=1)  # (R, 2K)
+    mesh = shardings.mesh if shardings is not None else None
+    K = b_l_all.shape[1]
+    if (mesh is not None and "k" in mesh.axis_names
+            and mesh.shape["k"] > 1 and K % mesh.shape["k"] == 0):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        # stack as (2, R, K) so 'k' shards each of b_l/b_r evenly
+        b2 = jnp.stack([b_l_all, b_r_all])
+        n_batch = 3
+        n_mat = 3 if blocked else 2          # (G,) A, A trailing dims
+        pspecs = jax.tree.map(lambda _: P(), model_params)
+        out_spec = P(*([None] * (n_batch - 1) + ["k"]
+                       + [None] * n_mat))
+        # check_vma=False: pallas_call (the expm kernel) has no vma
+        # rule; the transpose still psums the replicated model-params
+        # cotangent correctly (probe-validated, round 4)
+        P2 = shard_map(
+            lambda mp, b: transition(mp, b).astype(dtype),
+            mesh=mesh,
+            in_specs=(pspecs, P(None, None, "k")),
+            out_specs=out_spec,
+            check_vma=False,
+        )(model_params, b2)
+        P_all = jnp.concatenate([P2[0], P2[1]], axis=1)
+    else:
+        P_all = transition(model_params, b_cat).astype(dtype)
+    # (R, 2K, A, A) / (R, 2K, G, A, A)
     return b_l_all, b_r_all, P_all
 
 
@@ -499,14 +536,28 @@ def _sample_body(key, leaves, model, params, config, *,
     blocks = (getattr(model, "blocks", None)
               if (config.twist is None and config.blocked_merge)
               else None)
-    use_pallas = (
+    from phylo_tpu.pruning.kernels import (
+        INTERPRET as _kernels_interpret,
+        site_sharded_mesh,
+    )
+
+    # meshes sharding ONLY the site axis keep the fused rank kernels
+    # legal per shard (all particle rows device-local; rootll/d_lsc
+    # site-sums psum'd) -- see kernels.shard_fused_rank_update
+    s_mesh = site_sharded_mesh(shardings)
+    kernel_backend = jax.default_backend() == "tpu" or _kernels_interpret
+    kernel_ok = (
         config.use_pallas and config.rescale
-        and jax.default_backend() == "tpu"
+        and kernel_backend
         # the kernel unrolls A^2; product-space alphabets (GammaSites
         # A' = G*A) blow the Mosaic unroll budget -- use the jnp path
         and A <= 8
         and blocks is None
     )
+    # the non-fused merge kernel has no partitioning rule and no
+    # shard_map wrapper: single-device traces only (sharded sweeps use
+    # the fused rank path on 's'-only meshes, jnp + GSPMD otherwise)
+    use_pallas = kernel_ok and shardings is None
     # the fused RANK kernels also come in a block-structured form
     # (G*A^2 unrolled terms, within the Mosaic budget when <= 64): the
     # blocked GammaSites merge gets the one-pallas_call rank update on
@@ -514,20 +565,22 @@ def _sample_body(key, leaves, model, params, config, *,
     # A'^2 unroll) stays off
     blocked_kernel_ok = (
         config.use_pallas and config.rescale
-        and jax.default_backend() == "tpu"
+        and kernel_backend
         and blocks is not None
         and blocks[0] * blocks[1] ** 2 <= 64
     )
     if fused_rank:
         # fused gather->merge->scatter rank kernel (kernels._kernel_rank):
-        # only on the manual-VJP / eval paths (no AD rule), unsharded,
-        # unified-buffer, non-twist sweeps with tile-divisible K
+        # only on the manual-VJP / eval paths (no AD rule),
+        # single-device or 's'-only-sharded, unified-buffer, non-twist
+        # sweeps with tile-divisible K
         from phylo_tpu.pruning.kernels import FUSED_RANK, TKF
 
         fused_rank = (
-            FUSED_RANK and (use_pallas or blocked_kernel_ok)
+            FUSED_RANK and (kernel_ok or blocked_kernel_ok)
             and config.replicate_leaves
-            and config.twist is None and shardings is None
+            and config.twist is None
+            and (shardings is None or s_mesh is not None)
             and decisions is None and injected is None
             and K % TKF == 0
         )
@@ -544,10 +597,12 @@ def _sample_body(key, leaves, model, params, config, *,
         save_children = resid_bytes <= SAVE_CHILDREN_CAP
     if use_pallas or fused_rank:
         # pre-pad the site axis to the kernel tile so the per-rank pad
-        # op disappears; padding columns are all-ones with weight 0
+        # op disappears; padding columns are all-ones with weight 0.
+        # On an 's'-sharded mesh every SHARD must be a tile multiple.
         from phylo_tpu.pruning.kernels import TS
 
-        Sp = -(-S // TS) * TS
+        mult = TS * (s_mesh.shape["s"] if s_mesh is not None else 1)
+        Sp = -(-S // mult) * mult
         if Sp != S:
             leaves = jnp.pad(
                 leaves, ((0, 0), (0, 0), (0, Sp - S)),
@@ -558,13 +613,6 @@ def _sample_body(key, leaves, model, params, config, *,
             site_weights = jnp.pad(site_weights, (0, Sp - S))
             S = Sp
     if shardings is not None:
-        # pallas_call has no GSPMD rule: permanently drop the expm
-        # Pallas kernel's auto-gate once any sharded sweep is traced
-        # (covers the custom-VJP backward, which traces later, outside
-        # this function's dynamic extent).
-        from phylo_tpu.models import expm as _expm
-
-        _expm.notify_sharded_trace()
         leaves = lax.with_sharding_constraint(leaves, shardings.leaves_sm)
 
     stationary = model.stationary(params["model"]).astype(dtype)
@@ -622,9 +670,17 @@ def _sample_body(key, leaves, model, params, config, *,
         elif fused_rank:
             # write-once + exact-slab DMA gathers: contents are never
             # read before written, so skip the 300+ MB zero-fill
-            from phylo_tpu.pruning.kernels import alloc_rank_buffer
+            from phylo_tpu.pruning.kernels import (
+                alloc_rank_buffer,
+                shard_alloc_rank_buffer,
+            )
 
-            internal_msgs0 = alloc_rank_buffer(K, n_ranks, A, S, dtype)
+            if s_mesh is not None:
+                internal_msgs0 = shard_alloc_rank_buffer(
+                    s_mesh, K, n_ranks, A, S, dtype)
+            else:
+                internal_msgs0 = alloc_rank_buffer(K, n_ranks, A, S,
+                                                   dtype)
         else:
             internal_msgs0 = jnp.zeros((K, n_ranks, A, S), dtype=dtype)
         if shardings is not None:
@@ -798,7 +854,10 @@ def _sample_body(key, leaves, model, params, config, *,
             # place (input/output aliasing) -- no gather
             # materialization, no update-slice copy, no K-fold leaf
             # replication
-            from phylo_tpu.pruning.kernels import fused_rank_update
+            from phylo_tpu.pruning.kernels import (
+                fused_rank_update,
+                shard_fused_rank_update,
+            )
 
             idx4 = jnp.stack([
                 rows_n[:, 0], nodes[:, 0], rows_n[:, 1], nodes[:, 1],
@@ -806,15 +865,21 @@ def _sample_body(key, leaves, model, params, config, *,
             outc = jnp.reshape(r, (1,)).astype(jnp.int32)
             w_vec = (site_weights if site_weights is not None
                      else jnp.ones((S,), dtype))
+            if s_mesh is not None:
+                def _rank_fn(*a, save_children=False):
+                    return shard_fused_rank_update(
+                        s_mesh, save_children=save_children)(*a)
+            else:
+                _rank_fn = fused_rank_update
             child_l = child_r = None
             if save_children:
                 (internal_msgs, rootll_raw, d_lsc, child_l,
-                 child_r) = fused_rank_update(
+                 child_r) = _rank_fn(
                     leaves, state["internal_msgs"], idx4, outc, P_l,
                     P_r, stationary, w_vec, save_children=True,
                 )
             else:
-                internal_msgs, rootll_raw, d_lsc = fused_rank_update(
+                internal_msgs, rootll_raw, d_lsc = _rank_fn(
                     leaves, state["internal_msgs"], idx4, outc, P_l,
                     P_r, stationary, w_vec,
                 )
@@ -985,7 +1050,7 @@ def _sample_body(key, leaves, model, params, config, *,
                 )
             b_l_all, b_r_all, P_all = _presample_transitions(
                 model, params["model"], rates_l, rates_r, eps_l, eps_r,
-                dtype, blocked=blocks is not None,
+                dtype, blocked=blocks is not None, shardings=shardings,
             )
         else:
             b_l_all = decisions["branches_l"].astype(dtype)

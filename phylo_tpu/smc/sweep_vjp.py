@@ -138,7 +138,7 @@ def sweep_manual_vjp(key, leaves, model, params, config, shardings,
             _, _, P_all = _presample_transitions(
                 model, params["model"], rates_l.astype(dtype),
                 rates_r.astype(dtype), eps_l, eps_r, dtype,
-                blocked=blocked,
+                blocked=blocked, shardings=shardings,
             )
             pi = model.stationary(params["model"]).astype(dtype)
             return P_all, pi
@@ -613,12 +613,19 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
     # K % TKF == 0), so its backward twin applies too
     from phylo_tpu.pruning.kernels import (
         INTERPRET, TKF, fused_rank_bwd, fused_rank_bwd_saved,
+        shard_fused_rank_bwd, site_sharded_mesh,
     )
 
     use_fused = (
         buf.shape[1] == R and K % TKF == 0
         and (jax.default_backend() == "tpu" or INTERPRET)
     )
+    s_mesh = site_sharded_mesh(shardings)
+    if use_fused and s_mesh is not None:
+        # 's'-only mesh: per-shard backward kernels + psum'd
+        # site-summed cotangents (kernels.shard_fused_rank_bwd)
+        fused_rank_bwd = shard_fused_rank_bwd(s_mesh, saved=False)
+        fused_rank_bwd_saved = shard_fused_rank_bwd(s_mesh, saved=True)
     # children saved by the forward kernel -> DMA-free reverse kernel
     # (the per-particle re-gather is 56% of fused_rank_bwd's time at
     # batch-256 shapes; see kernels.fused_rank_bwd_saved)

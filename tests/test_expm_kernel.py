@@ -107,13 +107,12 @@ def test_expm_kernel_vmap_over_Q(interpret_mode, rng):
                                atol=1e-12)
 
 
-def test_sharded_trace_sticky_disables_auto_gate(rng, monkeypatch):
-    """smc.sweep calls notify_sharded_trace() when tracing with a GSPMD
-    sharding; afterwards the "auto" gate must never route through the
-    Pallas kernel (pallas_call has no partitioning rule), while "1"
-    still forces it."""
+def test_expm_auto_gate(rng, monkeypatch):
+    """The "auto" gate routes TPU f32 2-D-Q batches >= 2048 through the
+    Pallas kernel (sharded traces included -- the partitioner runs it
+    replicated; the sweep's presample shard_maps it per 'k'-shard
+    instead); "1" forces, "0" disables."""
     from phylo_tpu.models import expm_kernel as ek
-    from phylo_tpu.utils import pallas_gate
 
     hits = []
 
@@ -131,20 +130,19 @@ def test_sharded_trace_sticky_disables_auto_gate(rng, monkeypatch):
     monkeypatch.setattr(ek, "expm_ctmc_pallas", spy)
     monkeypatch.setattr(expm.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(expm, "_KERNEL_MODE", "auto")
-    monkeypatch.setattr(pallas_gate, "_SHARDED_TRACE_SEEN", False)
     Q = _rate_matrix(rng, 4, jnp.float32)
     b = jnp.asarray(rng.uniform(0.05, 2.0, (2048,)), jnp.float32)
 
     expm_ctmc(Q, b)
-    assert hits == [1]                       # gate engages pre-notify
-
-    expm.notify_sharded_trace()
-    assert pallas_gate.sharded_trace_seen()
+    assert hits == [1]                       # auto engages at 2048
+    expm_ctmc(Q, b[:512])
+    assert hits == [1]                       # small batch: jnp chain
+    monkeypatch.setattr(expm, "_KERNEL_MODE", "0")
     expm_ctmc(Q, b)
-    assert hits == [1]                       # auto gate now dark
+    assert hits == [1]                       # "0" disables
     monkeypatch.setattr(expm, "_KERNEL_MODE", "1")
     expm_ctmc(Q, b)
-    assert hits == [1, 1]                    # but "1" still forces
+    assert hits == [1, 1]                    # "1" forces
 
 
 def test_expm_ctmc_dispatch_gate(interpret_mode, rng, monkeypatch):

@@ -85,12 +85,13 @@ def test_cdf_schemes_never_return_out_of_range_indices():
 
 
 def test_resample_kernel_auto_gate(monkeypatch):
-    """The hardware-PRNG multinomial kernel engages only on unsharded
-    TPU traces at K >= 1024; "0" disables, "1" forces (pltpu has no
-    CPU lowering, so the spy stands in for the real pallas_call)."""
+    """The hardware-PRNG multinomial kernel engages on TPU at
+    K >= 1024 (sharded traces included: the partitioner runs the (K,)
+    kernel replicated, deterministic per seed); "0" disables, "1"
+    forces (pltpu has no CPU lowering, so the spy stands in for the
+    real pallas_call)."""
     from phylo_tpu.smc import resampling
     from phylo_tpu.smc import resample_kernel as rk
-    from phylo_tpu.utils import pallas_gate
 
     hits = []
 
@@ -102,7 +103,6 @@ def test_resample_kernel_auto_gate(monkeypatch):
     monkeypatch.setattr(resampling.jax, "default_backend",
                         lambda: "tpu")
     monkeypatch.setattr(resampling, "_KERNEL_MODE", "auto")
-    monkeypatch.setattr(pallas_gate, "_SHARDED_TRACE_SEEN", False)
 
     lw = jax.random.normal(jax.random.PRNGKey(0), (2048,), jnp.float32)
     resample_indices(jax.random.PRNGKey(1), lw, "multinomial")
@@ -111,15 +111,10 @@ def test_resample_kernel_auto_gate(monkeypatch):
     resample_indices(jax.random.PRNGKey(1), lw[:512], "multinomial")
     assert hits == [2048]                     # K < 1024: jax path
 
-    pallas_gate.notify_sharded_trace()
-    resample_indices(jax.random.PRNGKey(1), lw, "multinomial")
-    assert hits == [2048]                     # sharded trace: dark
-
     monkeypatch.setattr(resampling, "_KERNEL_MODE", "1")
     resample_indices(jax.random.PRNGKey(1), lw, "multinomial")
     assert hits == [2048, 2048]               # "1" still forces
 
-    monkeypatch.setattr(pallas_gate, "_SHARDED_TRACE_SEEN", False)
     monkeypatch.setattr(resampling, "_KERNEL_MODE", "0")
     resample_indices(jax.random.PRNGKey(1), lw, "multinomial")
     assert hits == [2048, 2048]               # "0" disables
