@@ -1,0 +1,160 @@
+"""Real-scale ML tree search: NJ start -> SPR hill-climb on Hohna DS1.
+
+The reference (amoretti86/phylo) has no tree search at all; this
+example exercises the round-3/4 search stack at the scale it matters
+(27 taxa x 1949 sites -> 2600 SPR candidates per iteration, scored as
+chunked batched sweeps on one compilation):
+
+  1. neighbor-joining starting tree from JC-corrected distances;
+  2. branch-length ML refit of the NJ tree (fixed topology);
+  3. greedy SPR hill-climbing with joint per-candidate branch refits
+     (search/spr.py; --spr_chunk caps the per-sweep batch);
+  4. NNI from the same start, for comparison (SPR >= NNI by move-set);
+  5. an independent SPR run from a deliberately bad caterpillar start:
+     Robinson-Foulds distance between the two optima is the
+     convergence sanity check.
+
+Writes JSON timings + the final Newick next to --out.
+
+Usage (real TPU; ~minutes):
+    python examples/ds1_tree_search.py
+    python examples/ds1_tree_search.py --dataset=primate_data \
+        --model=gtr --spr_chunk=512
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="hohna_data_1")
+    ap.add_argument("--model", default="jc69")
+    ap.add_argument("--spr_chunk", type=int, default=1024)
+    ap.add_argument("--branch_steps", type=int, default=10)
+    ap.add_argument("--max_iters", type=int, default=40)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--out", default="results/tree_search")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(
+                          os.path.dirname(os.path.abspath(__file__))),
+                          ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phylo_tpu.dataio import load_dataset
+    from phylo_tpu.models.substitution import get_model
+    from phylo_tpu.pruning.fixed_tree import (
+        optimize_branch_lengths,
+        parse_newick,
+    )
+    from phylo_tpu.search import (
+        jc_distance_matrix,
+        neighbor_joining,
+        nni_search,
+        spr_search,
+    )
+    from phylo_tpu.viz.trees import robinson_foulds, to_newick
+
+    ds = load_dataset(args.dataset)
+    print(f"dataset: {ds.name}  N={ds.N} S={ds.S} A={ds.A}")
+    model = get_model(args.model, A=ds.A)
+    dtype = jnp.dtype(args.dtype)
+    genome = np.asarray(ds.genome)
+    if hasattr(model, "expand_leaves"):
+        genome = model.expand_leaves(genome)
+    leaves = jnp.asarray(genome, dtype)
+    params = {"model": model.init_params(dtype)}
+    taxa = list(ds.taxa)
+    report = {"dataset": ds.name, "N": ds.N, "S": ds.S,
+              "model": args.model, "spr_chunk": args.spr_chunk}
+
+    # 1. NJ start
+    t0 = time.time()
+    D = jc_distance_matrix(np.asarray(ds.genome))
+    nj_rec = neighbor_joining(D)
+    report["nj_seconds"] = round(time.time() - t0, 3)
+
+    # 2. fixed-topology branch refit of the NJ tree
+    t0 = time.time()
+    br, nj_ll = optimize_branch_lengths(leaves, model, params, nj_rec,
+                                        steps=200)
+    nj_rec = dict(nj_rec, branches=np.asarray(br))
+    report["nj_refit_seconds"] = round(time.time() - t0, 3)
+    report["nj_log_likelihood"] = float(nj_ll)
+    print(f"NJ tree refit: ll {float(nj_ll):.3f} "
+          f"({report['nj_refit_seconds']}s)")
+
+    # 3. SPR hill-climb from NJ
+    t0 = time.time()
+    spr = spr_search(leaves, model, params, nj_rec,
+                     max_iters=args.max_iters,
+                     branch_opt_steps=args.branch_steps,
+                     max_particles=args.spr_chunk, verbose=True)
+    report["spr_seconds"] = round(time.time() - t0, 3)
+    report["spr_log_likelihood"] = spr.log_likelihood
+    report["spr_iterations"] = spr.iterations
+    print(f"SPR: ll {spr.log_likelihood:.3f} in {spr.iterations} iters "
+          f"({report['spr_seconds']}s)")
+
+    # 4. NNI from the same start (move-set subset: must not beat SPR)
+    t0 = time.time()
+    nni = nni_search(leaves, model, params, nj_rec,
+                     max_iters=args.max_iters,
+                     branch_opt_steps=args.branch_steps)
+    report["nni_seconds"] = round(time.time() - t0, 3)
+    report["nni_log_likelihood"] = nni.log_likelihood
+    report["nni_iterations"] = nni.iterations
+    print(f"NNI: ll {nni.log_likelihood:.3f} in {nni.iterations} iters "
+          f"({report['nni_seconds']}s)")
+
+    # 5. independent SPR from a caterpillar start -> RF convergence
+    cat = "(" * (ds.N - 1) + taxa[0] + ":0.1"
+    for name in taxa[1:]:
+        cat += f",{name}:0.1):0.1"
+    cat = cat[: cat.rfind(")") + 1] + ";"
+    _, cat_rec = parse_newick(cat, taxa=taxa)
+    t0 = time.time()
+    spr2 = spr_search(leaves, model, params, cat_rec,
+                      max_iters=args.max_iters,
+                      branch_opt_steps=args.branch_steps,
+                      max_particles=args.spr_chunk)
+    report["spr_from_caterpillar_seconds"] = round(time.time() - t0, 3)
+    report["spr_from_caterpillar_ll"] = spr2.log_likelihood
+    rf = robinson_foulds(taxa, spr.record, spr2.record, rooted=False,
+                         normalized=True)
+    report["rf_between_independent_spr_optima"] = float(rf)
+    print(f"SPR from caterpillar: ll {spr2.log_likelihood:.3f}; "
+          f"normalized RF to NJ-start optimum: {rf:.3f}")
+
+    assert spr.log_likelihood >= nj_ll - 1e-6, "SPR regressed below NJ"
+    assert spr.log_likelihood >= nni.log_likelihood - 1e-6, \
+        "NNI beat SPR despite subset move set"
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    with open(os.path.join(args.out, "best_tree.nwk"), "w") as f:
+        f.write(to_newick(taxa, spr.record) + "\n")
+    print(f"artifacts in {args.out}/")
+    return report
+
+
+if __name__ == "__main__":
+    main()
