@@ -60,6 +60,10 @@ def parse_args(argv=None):
                    "modifiers (e.g. gtr+g4+i, lg.dat+f); overrides "
                    "--jcmodel (default: reference learned-Q, or jc69 "
                    "when --jcmodel=true)")
+    p.add_argument("--codons", type=_boolish, default=False,
+                   help="re-encode the DNA alignment as 61 sense "
+                   "codons (dataio.codons) and default the model to "
+                   "GY94 with empirical F61 frequencies")
     p.add_argument("--gamma_categories", type=int, default=0,
                    help="discrete-Gamma rate heterogeneity across "
                    "sites with this many categories (learnable alpha); "
@@ -158,6 +162,12 @@ def main(argv=None):
     from phylo_tpu.train import TrainConfig, train
 
     ds = load_dataset(args.dataset)
+    if args.codons:
+        from phylo_tpu.dataio.codons import codon_dataset
+
+        ds = codon_dataset(ds)
+        if args.model is None:
+            args.model = "gy94"
     print(f"Dataset: {ds.name}  N={ds.N} taxa, S={ds.S} sites, "
           f"A={ds.A} states")
 

@@ -144,4 +144,12 @@ def _matmul(a, b):
     # I + (x/j) R increments of the scaled Taylor series) or, with
     # precision='highest', pays a 6-pass emulation that is ~50x slower
     # than these native-f32 VPU ops.
+    #
+    # Wide alphabets (protein A=20, codon A=61) invert the trade: the
+    # broadcast form materializes an (..., A, A, A) intermediate
+    # (227k floats per batch element at A=61), while the 6-pass MXU
+    # einsum is exact f32 and linear in A^2 memory -- switch over.
+    if a.shape[-1] > 8:
+        return jnp.einsum("...ab,...bc->...ac", a, b,
+                          precision="highest")
     return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)

@@ -467,6 +467,12 @@ def _get_base_model(name, A):
         return GTR(A)
     if lowered in ("hky", "hky85"):
         return HKY(A)
+    if lowered in ("gy94", "codon"):
+        # uniform-frequency GY94; callers with data in hand pass
+        # empirical F61 frequencies to models.codon.GY94 directly
+        from phylo_tpu.models.codon import GY94
+
+        return GY94()
     raise KeyError(f"unknown substitution model {name!r}")
 
 
@@ -497,16 +503,22 @@ def get_model(name, A=4):
         if m == "i":
             invariant = True
         elif m == "f":
+            from phylo_tpu.models.codon import GY94
             from phylo_tpu.models.empirical import EmpiricalProtein
 
-            if not isinstance(base, EmpiricalProtein):
-                raise ValueError(
-                    f"'+f' requires a PAML .dat base model (spec {name!r})"
+            if isinstance(base, GY94):
+                base = GY94(base._freqs, plus_f=True,
+                            normalize=base.normalize)
+            elif isinstance(base, EmpiricalProtein):
+                base = EmpiricalProtein(
+                    base._exch, base._freqs, name=base.name,
+                    plus_f=True, normalize=base.normalize,
                 )
-            base = EmpiricalProtein(
-                base._exch, base._freqs, name=base.name, plus_f=True,
-                normalize=base.normalize,
-            )
+            else:
+                raise ValueError(
+                    f"'+f' requires a PAML .dat or gy94 base model "
+                    f"(spec {name!r})"
+                )
         elif m[0] == "g" and (len(m) == 1 or m[1:].isdigit()):
             gamma = int(m[1:]) if len(m) > 1 else 4
         elif m[0] == "r" and (len(m) == 1 or m[1:].isdigit()):

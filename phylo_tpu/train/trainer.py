@@ -159,6 +159,34 @@ def _sweep_config(config, ds_N):
     )
 
 
+def _resolve_codon_frequencies(model, dataset):
+    """GY94 resolved from the model registry carries uniform codon
+    frequencies; replace them with empirical F61 counts from the
+    alignment (the standard default) and validate the alphabet."""
+    from phylo_tpu.models.codon import GY94
+
+    base = getattr(model, "base", model)
+    if not isinstance(base, GY94):
+        return model
+    if dataset.A != GY94.A:
+        raise ValueError(
+            f"GY94 needs a codon-encoded dataset (A={GY94.A}); this "
+            f"dataset has A={dataset.A} -- pass --codons (or "
+            "dataio.codons.codon_dataset)"
+        )
+    from phylo_tpu.dataio.codons import empirical_codon_frequencies
+
+    freqs = empirical_codon_frequencies(dataset.genome)
+    new_base = GY94(freqs, plus_f=base.plus_f, normalize=base.normalize)
+    if base is model:
+        return new_base
+    import copy
+
+    wrapped = copy.copy(model)
+    wrapped.base = new_base
+    return wrapped
+
+
 def init_params(dataset, config):
     dtype = jnp.dtype(config.dtype)
     if config.paml_dat:
@@ -177,6 +205,7 @@ def init_params(dataset, config):
             "jc69" if config.jcmodel else "reference"
         )
         model = get_model(name, A=dataset.A)
+        model = _resolve_codon_frequencies(model, dataset)
     if hasattr(model, "expand_leaves") and (
             config.gamma_categories or config.invariant_sites
             or config.free_rates):
