@@ -39,6 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--model", default="jc69",
                    help="substitution model when --run is not given "
                         "(jc69|reference|gtr|hky; fresh init params)")
+    p.add_argument("--codons", action="store_true",
+                   help="re-encode the DNA alignment as 61 sense "
+                        "codons and default the model to GY94 with "
+                        "empirical F61 frequencies")
     p.add_argument("--optimize_branches", action="store_true",
                    help="ML-fit branch lengths on the fixed topology")
     p.add_argument("--steps", type=int, default=200,
@@ -121,6 +125,12 @@ def main(argv=None):
     dtype = jnp.dtype(args.dtype)
 
     ds = load_dataset(args.dataset)
+    if args.codons:
+        from phylo_tpu.dataio.codons import codon_dataset
+
+        ds = codon_dataset(ds)
+        if args.model == "jc69":         # the flag's default
+            args.model = "gy94"
     text = args.newick
     if os.path.exists(text):
         with open(text) as f:
@@ -145,6 +155,9 @@ def main(argv=None):
             genome = np.tile(genome, (1, 1, G))
     else:
         model = get_model(args.model, A=ds.A)
+        from phylo_tpu.train.trainer import _resolve_codon_frequencies
+
+        model = _resolve_codon_frequencies(model, ds)
         if hasattr(model, "expand_leaves"):
             # product-space mixtures (+g/+i/+r specs): tile leaf codes
             # across the rate-category blocks

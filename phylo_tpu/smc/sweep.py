@@ -558,6 +558,28 @@ def _sample_body(key, leaves, model, params, config, *,
     # shard_map wrapper: single-device traces only (sharded sweeps use
     # the fused rank path on 's'-only meshes, jnp + GSPMD otherwise)
     use_pallas = kernel_ok and shardings is None
+    # _dma_gather_children moves (GA, Sp) slabs: Mosaic requires the
+    # sliced row count to pack the 8-row f32 tile evenly (GA % 8 == 0
+    # or 8 % GA == 0) -- A=7 (spikeGP) fails with "slice shape must be
+    # aligned to tiling (8)" otherwise.  Misaligned plane counts are
+    # re-admitted by PADDING the state planes (dense: A -> 8; blocked:
+    # whole zero rate-category blocks) with zero transitions/stationary
+    # entries, which the contraction provably zeroes out -- see
+    # `plane_pad` application below.
+    GA_dim = leaves.shape[1]
+    if GA_dim % 8 == 0 or 8 % GA_dim == 0:
+        plane_pad = 0
+    elif blocks is None and GA_dim < 8:
+        plane_pad = 8 - GA_dim
+    elif blocks is not None:
+        GAp = -(-GA_dim // 8) * 8
+        plane_pad = (GAp - GA_dim
+                     if (GAp - GA_dim) % blocks[1] == 0 else None)
+    else:
+        plane_pad = None
+    blocks_padded = blocks
+    if blocks is not None and plane_pad:
+        blocks_padded = (blocks[0] + plane_pad // blocks[1], blocks[1])
     # the fused RANK kernels also come in a block-structured form
     # (G*A^2 unrolled terms, within the Mosaic budget when <= 64): the
     # blocked GammaSites merge gets the one-pallas_call rank update on
@@ -567,7 +589,8 @@ def _sample_body(key, leaves, model, params, config, *,
         config.use_pallas and config.rescale
         and kernel_backend
         and blocks is not None
-        and blocks[0] * blocks[1] ** 2 <= 64
+        and plane_pad is not None
+        and blocks_padded[0] * blocks_padded[1] ** 2 <= 64
     )
     if fused_rank:
         # fused gather->merge->scatter rank kernel (kernels._kernel_rank):
@@ -578,12 +601,23 @@ def _sample_body(key, leaves, model, params, config, *,
 
         fused_rank = (
             FUSED_RANK and (kernel_ok or blocked_kernel_ok)
+            and plane_pad is not None
             and config.replicate_leaves
             and config.twist is None
             and (shardings is None or s_mesh is not None)
             and decisions is None and injected is None
             and K % TKF == 0
         )
+    if fused_rank and plane_pad:
+        # zero leaf planes; transitions/stationary padded after they
+        # are computed below.  `A` becomes the PADDED plane count for
+        # the rest of this function (buffer shapes, kernel params);
+        # cotangents are sliced back in sweep_vjp.
+        leaves = jnp.pad(leaves, ((0, 0), (0, plane_pad), (0, 0)))
+        A = leaves.shape[1]
+        blocks = blocks_padded
+    else:
+        plane_pad = 0
     # manual-VJP forward: save the gathered children as residuals so
     # the reverse pass skips the per-particle DMA re-gather (56% of
     # fused_rank_bwd at batch-256 shapes); capped by residual bytes
@@ -616,6 +650,8 @@ def _sample_body(key, leaves, model, params, config, *,
         leaves = lax.with_sharding_constraint(leaves, shardings.leaves_sm)
 
     stationary = model.stationary(params["model"]).astype(dtype)
+    if plane_pad:
+        stationary = jnp.pad(stationary, (0, plane_pad))
     rates_l, rates_r = branch_rates(params["branches"])
     rates_l = rates_l.astype(dtype)
     rates_r = rates_r.astype(dtype)
@@ -1052,6 +1088,18 @@ def _sample_body(key, leaves, model, params, config, *,
                 model, params["model"], rates_l, rates_r, eps_l, eps_r,
                 dtype, blocked=blocks is not None, shardings=shardings,
             )
+            if plane_pad:
+                # zero transitions for the padded planes/blocks: the
+                # merge contraction provably writes zero into padded
+                # message planes, and pi pad entries drop them from
+                # every root reduction
+                if blocks is not None:
+                    P_all = jnp.pad(P_all, (
+                        (0, 0), (0, 0), (0, plane_pad // blocks[1]),
+                        (0, 0), (0, 0)))
+                else:
+                    P_all = jnp.pad(P_all, (
+                        (0, 0), (0, 0), (0, plane_pad), (0, plane_pad)))
         else:
             b_l_all = decisions["branches_l"].astype(dtype)
             b_r_all = decisions["branches_r"].astype(dtype)

@@ -598,6 +598,24 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
     ids_all = aux["merged"]                   # (R, K, 2)
     K = buf.shape[0]
     R, A, Sp = rows_all.shape[0], leaves_sm.shape[1], leaves_sm.shape[2]
+    # plane padding (sweep.py `plane_pad`): the forward padded the
+    # state planes to a DMA-aligned count; the prologue's (P_all, pi)
+    # linearization is REAL-sized.  Pad them to match here, slice the
+    # cotangents back before returning.
+    if P_all.ndim == 5:                       # blocked (R, 2K, G, Ab, Ab)
+        real_planes = P_all.shape[2] * P_all.shape[3]
+        if real_planes != A:
+            gpad = (A - real_planes) // P_all.shape[3]
+            P_all = jnp.pad(P_all, ((0, 0), (0, 0), (0, gpad),
+                                    (0, 0), (0, 0)))
+    else:
+        real_planes = P_all.shape[-1]
+        if real_planes != A:
+            ppad = A - real_planes
+            P_all = jnp.pad(P_all, ((0, 0), (0, 0), (0, ppad),
+                                    (0, ppad)))
+    if real_planes != A:
+        pi = jnp.pad(pi, (0, A - pi.shape[0]))
     P_l_all, P_r_all = P_all[:, :K], P_all[:, K:]
 
     if pending is None:
@@ -708,4 +726,15 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
     dP_all = jnp.concatenate(
         [jnp.stack(dPl_out), jnp.stack(dPr_out)], axis=1
     )                                          # (R, 2K, A, A)
+    if real_planes != A:
+        # slice the plane-padding cotangents back to the prologue's
+        # real shapes (pad-plane cotangents are identically zero: pad
+        # transitions/stationary are zero and pad messages never reach
+        # the loss)
+        if dP_all.ndim == 5:                   # blocked
+            dP_all = dP_all[:, :, :real_planes // dP_all.shape[3]]
+        else:
+            dP_all = dP_all[..., :real_planes, :real_planes]
+        dpi = dpi[:real_planes]
+        dleaves = dleaves[:, :real_planes]
     return dP_all, dpi, dleaves, dw
