@@ -623,12 +623,21 @@ def _sample_body(key, leaves, model, params, config, *,
     # fused_rank_bwd at batch-256 shapes); capped by residual bytes
     save_children = False
     if fused_rank and want_aux:
-        from phylo_tpu.pruning.kernels import SAVE_CHILDREN_CAP, TS
+        from phylo_tpu.pruning.kernels import (
+            SAVE_CHILDREN_CAP, TS, _rank_tile,
+        )
 
         Sp_k = -(-S // TS) * TS
         GA_k = leaves.shape[1]
         resid_bytes = 2 * n_ranks * K * GA_k * Sp_k * leaves.dtype.itemsize
-        save_children = resid_bytes <= SAVE_CHILDREN_CAP
+        # below tk=16 the re-gather backward's per-particle DMA count
+        # explodes (spike A->8 Sp=1664 tk=8: 1004 ms/step vs 124 with
+        # saved children): ignore the byte cap there, bounded by HBM
+        save_children = (
+            resid_bytes <= SAVE_CHILDREN_CAP
+            or (_rank_tile(Sp_k, GA_k) < 16
+                and resid_bytes <= 6 * 2 ** 30)
+        )
     if use_pallas or fused_rank:
         # pre-pad the site axis to the kernel tile so the per-rank pad
         # op disappears; padding columns are all-ones with weight 0.

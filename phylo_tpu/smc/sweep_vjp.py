@@ -630,14 +630,20 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
     # marker that the forward ran the fused rank kernel (TPU,
     # K % TKF == 0), so its backward twin applies too
     from phylo_tpu.pruning.kernels import (
-        INTERPRET, TKF, fused_rank_bwd, fused_rank_bwd_saved,
-        shard_fused_rank_bwd, site_sharded_mesh,
+        INTERPRET, TKF, _rank_tile, fused_rank_bwd,
+        fused_rank_bwd_saved, shard_fused_rank_bwd, site_sharded_mesh,
     )
 
     use_fused = (
         buf.shape[1] == R and K % TKF == 0
         and (jax.default_backend() == "tpu" or INTERPRET)
     )
+    if (use_fused and aux.get("child_l") is None
+            and _rank_tile(Sp, A) < 16):
+        # no saved residuals AND the small-tile regime where the DMA
+        # re-gather backward collapses (see sweep.py save_children):
+        # the jnp re-gather chain is the faster backward here
+        use_fused = False
     s_mesh = site_sharded_mesh(shardings)
     if use_fused and s_mesh is not None:
         # 's'-only mesh: per-shard backward kernels + psum'd

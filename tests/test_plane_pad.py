@@ -33,8 +33,14 @@ def _run(model, leaves, params, config, interpret):
     return jax.value_and_grad(loss)(params)
 
 
+@pytest.mark.parametrize("saved", [True, False])
 @pytest.mark.parametrize("case", ["dense_a7", "blocked_g3"])
-def test_padded_fused_matches_jnp_path(interpret_mode, rng, case):
+def test_padded_fused_matches_jnp_path(interpret_mode, rng, case, saved,
+                                       monkeypatch):
+    if not saved:
+        # force the DMA re-gather backward (fused_rank_bwd) instead of
+        # the saved-children variant
+        monkeypatch.setattr(kernels, "SAVE_CHILDREN_CAP", 0)
     N, S, K = 5, 70, 32                  # K % TKF == 0
     if case == "dense_a7":
         A = 7
