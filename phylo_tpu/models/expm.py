@@ -44,6 +44,11 @@ import jax.numpy as jnp
 # "1" forces it, "0" disables.
 _KERNEL_MODE = _os.environ.get("PHYLO_EXPM_KERNEL", "auto")
 
+# matmul emulation for the wide-alphabet (A > 8) expm chain; see
+# _matmul below
+_WIDE_PRECISION = _os.environ.get("PHYLO_EXPM_WIDE_PRECISION",
+                                  "highest")
+
 # Sharded traces: pallas_call has no partitioning rule of its own, so
 # under a mesh the Shardy partitioner runs the kernel fully REPLICATED
 # (each device computes the whole batch) -- correct, and no slower than
@@ -147,9 +152,11 @@ def _matmul(a, b):
     #
     # Wide alphabets (protein A=20, codon A=61) invert the trade: the
     # broadcast form materializes an (..., A, A, A) intermediate
-    # (227k floats per batch element at A=61), while the 6-pass MXU
-    # einsum is exact f32 and linear in A^2 memory -- switch over.
+    # (227k floats per batch element at A=61), while the MXU einsum is
+    # linear in A^2 memory -- switch over.  PHYLO_EXPM_WIDE_PRECISION
+    # picks the emulation: 'highest' (6-pass, exact f32) or 'high'
+    # (3-pass bf16x3, ~f32-accurate) -- A/B'd on chip, see ROADMAP.
     if a.shape[-1] > 8:
         return jnp.einsum("...ab,...bc->...ac", a, b,
-                          precision="highest")
+                          precision=_WIDE_PRECISION)
     return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
