@@ -34,7 +34,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from phylo_tpu.dataio.codons import CODON_AA, SENSE_CODONS
-from phylo_tpu.models.expm import expm_ctmc
+from phylo_tpu.models.expm import expm_ctmc, expm_reversible
 from phylo_tpu.models.substitution import _Model
 
 _TRANSITIONS = {frozenset("AG"), frozenset("CT")}
@@ -80,7 +80,7 @@ class GY94(_Model):
     A = 61
 
     def __init__(self, frequencies=None, *, plus_f=False,
-                 kappa=2.0, omega=0.2, normalize=True):
+                 kappa=2.0, omega=0.2, normalize=True, spectral=True):
         if frequencies is None:
             frequencies = np.full((self.A,), 1.0 / self.A)
         freqs = np.asarray(frequencies, np.float64)
@@ -95,6 +95,7 @@ class GY94(_Model):
         self._init_kappa = float(kappa)
         self._init_omega = float(omega)
         self.normalize = bool(normalize)
+        self.spectral = bool(spectral)
 
     def init_params(self, dtype=jnp.float32):
         p = {
@@ -133,5 +134,12 @@ class GY94(_Model):
 
     def transition(self, params, b):
         # merge orientation: same convention as GTR (textbook Q with
-        # pi_j columns; the sweep contracts `message @ P`)
+        # pi_j columns; the sweep contracts `message @ P`).  GY94 is
+        # reversible by construction, so the default path is the
+        # spectral one-matmul form (expm_reversible) -- the 23-matmul
+        # uniformized chain was 51% of the codon train step
+        # (ROADMAP r5 item 1); spectral=False keeps it for A/B.
+        if self.spectral:
+            return expm_reversible(self.Q(params),
+                                   self.stationary(params), b)
         return expm_ctmc(self.Q(params).T, b)

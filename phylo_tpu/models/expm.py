@@ -142,6 +142,51 @@ def expm_ctmc(Q, b, *, order=12, squarings=12):
     return jnp.exp(-mu * b_eff)[..., None, None] * (eye + D)
 
 
+def expm_reversible(Q, pi, b, *, clip=True):
+    """expm(Q^T b) for a REVERSIBLE generator via the classical
+    spectral method (the route every ML phylogenetics package takes
+    for GTR-class models, and the big lever for wide alphabets).
+
+    Reversibility (pi_i Q_ij == pi_j Q_ji) makes
+    S = diag(sqrt(pi)) Q diag(1/sqrt(pi)) symmetric, so
+
+        expm(Q b)^T = diag(d) U diag(e^{w b}) U^T diag(1/d),
+        (w, U) = eigh(S),  d = sqrt(pi)
+
+    -- ONE A x A eigendecomposition per parameter value, then each
+    batched transition is a single matmul + elementwise exp, versus
+    the 23-matmul uniformized chain (models/expm.py expm_ctmc): at
+    A=61 the chain is ~51% of the codon train step (ROADMAP r5 item
+    1).  Gradients flow through jax's eigh VJP (stable for the
+    generically distinct eigenvalues of these generators).
+
+    clip=True zeroes the tiny negative entries spectral
+    reconstruction can produce near 0 (exact expm is nonnegative);
+    standard practice.
+
+    Returns expm(Q^T b) of shape b.shape + (A, A) -- the MERGE
+    orientation (`message @ P`), matching GTR.transition.
+    """
+    Q = jnp.asarray(Q)
+    b = jnp.asarray(b)
+    dtype = jnp.result_type(Q.dtype, b.dtype)
+    Q = Q.astype(dtype)
+    pi = jnp.asarray(pi, dtype)
+    d = jnp.sqrt(jnp.maximum(pi, 1e-30))
+    S = Q * (d[:, None] / d[None, :])
+    S = (S + S.T) / 2          # exact symmetry for eigh
+    w, U = jnp.linalg.eigh(S)
+    E = jnp.exp(w * b[..., None])                     # (..., A)
+    left = (U * d[:, None]) * E[..., None, :]         # (..., A, A)
+    right = (U / d[:, None]).T
+    # PT[..., i, j] = sum_k d_i U_ik e^{w_k b} U_jk / d_j
+    PT = jnp.einsum("...ik,kj->...ij", left, right,
+                    precision="highest")
+    if clip:
+        PT = jnp.maximum(PT, 0.0)
+    return PT
+
+
 def _matmul(a, b):
     # Explicit broadcast-multiply-add instead of dot_general: the A x A
     # factors are tiny (4-7 wide), and on TPU a dot_general either

@@ -508,11 +508,13 @@ def get_model(name, A=4):
 
             if isinstance(base, GY94):
                 base = GY94(base._freqs, plus_f=True,
-                            normalize=base.normalize)
+                            normalize=base.normalize,
+                            spectral=base.spectral)
             elif isinstance(base, EmpiricalProtein):
                 base = EmpiricalProtein(
                     base._exch, base._freqs, name=base.name,
                     plus_f=True, normalize=base.normalize,
+                    spectral=base.spectral,
                 )
             else:
                 raise ValueError(

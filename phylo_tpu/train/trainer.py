@@ -177,7 +177,8 @@ def _resolve_codon_frequencies(model, dataset):
     from phylo_tpu.dataio.codons import empirical_codon_frequencies
 
     freqs = empirical_codon_frequencies(dataset.genome)
-    new_base = GY94(freqs, plus_f=base.plus_f, normalize=base.normalize)
+    new_base = GY94(freqs, plus_f=base.plus_f, normalize=base.normalize,
+                    spectral=base.spectral)
     if base is model:
         return new_base
     import copy

@@ -237,3 +237,28 @@ def test_gy94_omega_recovery():
     assert 1.8 < kappa_hat < 5.0, kappa_hat
     # and the fit beats the wrong-start likelihood decisively
     assert float(loss(mp)) < float(loss(p0)) - 50.0
+
+
+def test_gy94_spectral_matches_uniformized(rng):
+    """The default spectral transition (one eigh + one matmul) equals
+    the uniformized chain to float64 precision, including gradients
+    through kappa/omega/pi."""
+    freqs = rng.uniform(0.5, 2.0, 61)
+    spec = GY94(freqs / freqs.sum(), spectral=True, plus_f=True)
+    unif = GY94(freqs / freqs.sum(), spectral=False, plus_f=True)
+    p = spec.init_params(jnp.float64)
+    b = jnp.asarray(rng.exponential(0.3, 32))
+
+    P_s = np.asarray(spec.transition(p, b))
+    P_u = np.asarray(unif.transition(p, b))
+    np.testing.assert_allclose(P_s, P_u, rtol=1e-8, atol=1e-12)
+
+    def loss(model, mp):
+        return jnp.sum(model.transition(mp, b) ** 2)
+
+    g_s = jax.grad(lambda mp: loss(spec, mp))(p)
+    g_u = jax.grad(lambda mp: loss(unif, mp))(p)
+    for k in g_s:
+        np.testing.assert_allclose(np.asarray(g_s[k]),
+                                   np.asarray(g_u[k]),
+                                   rtol=1e-6, atol=1e-10, err_msg=k)
