@@ -409,6 +409,35 @@ def measure_details():
         "elbo": -float(v),
     }
 
+    # 5e. codon GY94 (A = 61 sense codons, spectral transitions) on
+    #     betacorona re-encoded: another reference-absent family row
+    from phylo_tpu.dataio.codons import (
+        codon_dataset,
+        empirical_codon_frequencies,
+    )
+    from phylo_tpu.models.codon import GY94
+
+    ds_c = codon_dataset(load_dataset("betacorona1"))
+    cmodel = GY94(empirical_codon_frequencies(ds_c.genome))
+    cparams = {
+        "model": cmodel.init_params(jnp.float32),
+        "branches": init_branch_params(ds_c.N, dtype=jnp.float32),
+    }
+    cleaves = jnp.asarray(ds_c.genome, jnp.float32)
+    ccfg = SweepConfig(K=128)
+
+    def closs(p, key):
+        return -sample_phylogenies(key, cleaves, cmodel, p, ccfg).elbo
+
+    cfn = jax.jit(jax.value_and_grad(closs))
+    t, (v, _) = timed(cfn, cparams, jax.random.PRNGKey(0), iters=10)
+    out["codon_gy94_step"] = {
+        "config": "betacorona1 codons 17x1086 A=61 GY94(spectral) "
+                  "K=128 full-S fwd+grad",
+        "train_step_ms": round(t * 1000, 3),
+        "elbo": -float(v),
+    }
+
     # 6. VNCSMC epoch on primate at the reference's ACTIVE sweep config
     #    (autorun.sh:3-12: nested=true, K=32, M=10, batch 256), compared
     #    to the reference-equivalent torch CPU nested recursion
