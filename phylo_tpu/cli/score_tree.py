@@ -36,9 +36,11 @@ def parse_args(argv=None):
     p.add_argument("--run", default=None,
                    help="run directory or results.p: score under the "
                         "trained best-epoch Q/stationary (FixedQ)")
-    p.add_argument("--model", default="jc69",
+    p.add_argument("--model", default=None,
                    help="substitution model when --run is not given "
-                        "(jc69|reference|gtr|hky; fresh init params)")
+                        "(jc69|reference|gtr|hky|gy94|<paml.dat>, with "
+                        "+gN/+i/+rN/+f modifiers; fresh init params; "
+                        "default jc69, or gy94 under --codons)")
     p.add_argument("--codons", action="store_true",
                    help="re-encode the DNA alignment as 61 sense "
                         "codons and default the model to GY94 with "
@@ -129,8 +131,11 @@ def main(argv=None):
         from phylo_tpu.dataio.codons import codon_dataset
 
         ds = codon_dataset(ds)
-        if args.model == "jc69":         # the flag's default
-            args.model = "gy94"
+    if args.model is None:
+        # None = the flag was not given: default jc69, or GY94 under
+        # --codons (an explicit --model always wins, incl. jc69-on-
+        # codons)
+        args.model = "gy94" if args.codons else "jc69"
     text = args.newick
     if os.path.exists(text):
         with open(text) as f:

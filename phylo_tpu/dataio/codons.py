@@ -101,8 +101,9 @@ def encode_codon_strings(seqs):
 
 def codon_dataset(ds):
     """Convert a DNA `PhyloDataset` (one-hot over ACGT) to the codon
-    alphabet.  Columns beyond the last full triplet are dropped with a
-    warning count in the dataset name."""
+    alphabet.  Columns beyond the last full triplet are dropped, and
+    the drop is recorded in the dataset name
+    (``<name>_codon_drop2nt``)."""
     from phylo_tpu.dataio.datasets import PhyloDataset
 
     genome = np.asarray(ds.genome)
@@ -132,8 +133,10 @@ def codon_dataset(ds):
             chars.append(ch)
         seqs[t] = "".join(chars)
     taxa, onehot = encode_codon_strings(seqs)
-    return PhyloDataset(name=f"{ds.name}_codon", taxa=taxa,
-                        genome=onehot)
+    name = f"{ds.name}_codon"
+    if S3 != S:
+        name += f"_drop{S - S3}nt"
+    return PhyloDataset(name=name, taxa=taxa, genome=onehot)
 
 
 def empirical_codon_frequencies(genome, *, pseudocount=1.0):
@@ -141,7 +144,9 @@ def empirical_codon_frequencies(genome, *, pseudocount=1.0):
     unambiguous codon counts + a pseudocount, normalized.  Ambiguous /
     missing rows (sum > 1) are skipped."""
     g = np.asarray(genome)
-    is_certain = g.sum(-1) == 1.0                 # (N, S)
+    # tolerance, not exact equality: one-hot rows that passed through a
+    # float32 cast or renormalization still count as unambiguous
+    is_certain = np.isclose(g.sum(-1), 1.0, atol=1e-3)    # (N, S)
     counts = (g * is_certain[..., None]).sum((0, 1))
     freqs = counts + pseudocount
     return freqs / freqs.sum()

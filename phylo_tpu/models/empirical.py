@@ -140,7 +140,13 @@ class EmpiricalProtein(_Model):
         # eigh + one batched matmul) replaces the 23-matmul
         # uniformized chain -- the A=61 GY94 A/B measured 3.9x on the
         # codon train step with BETTER f32 accuracy (2.5e-6 vs 3.3e-6
-        # vs scipy); same structure here at A=20
+        # vs scipy); same structure here at A=20.  Caveat: with
+        # plus_f=True gradients flow through eigh's VJP, which divides
+        # by eigenvalue gaps -- a (near-)degenerate spectrum (unusual
+        # for published matrices, but reachable when a learnable pi
+        # wanders) yields exploding gradients; pass spectral=False to
+        # keep the uniformized chain in that case.  With fixed pi the
+        # decomposition is a constant and no eigh gradient exists.
         self.spectral = bool(spectral)
 
     @classmethod

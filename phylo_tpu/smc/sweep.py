@@ -627,7 +627,12 @@ def _sample_body(key, leaves, model, params, config, *,
             SAVE_CHILDREN_CAP, TS, _rank_tile,
         )
 
-        Sp_k = -(-S // TS) * TS
+        # the FINAL padded Sp (incl. the 's'-mesh multiple below) and
+        # the PER-SHARD kernel tile, so this gate agrees with the
+        # backward's fallback check (sweep_vjp._messages_bwd computes
+        # the same quantities from the padded aux shapes)
+        ns_k = s_mesh.shape["s"] if s_mesh is not None else 1
+        Sp_k = -(-S // (TS * ns_k)) * (TS * ns_k)
         GA_k = leaves.shape[1]
         resid_bytes = 2 * n_ranks * K * GA_k * Sp_k * leaves.dtype.itemsize
         # below tk=16 the re-gather backward's per-particle DMA count
@@ -635,7 +640,7 @@ def _sample_body(key, leaves, model, params, config, *,
         # saved children): ignore the byte cap there, bounded by HBM
         save_children = (
             resid_bytes <= SAVE_CHILDREN_CAP
-            or (_rank_tile(Sp_k, GA_k) < 16
+            or (_rank_tile(Sp_k // ns_k, GA_k) < 16
                 and resid_bytes <= 6 * 2 ** 30)
         )
     if use_pallas or fused_rank:

@@ -638,13 +638,15 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
         buf.shape[1] == R and K % TKF == 0
         and (jax.default_backend() == "tpu" or INTERPRET)
     )
-    if (use_fused and aux.get("child_l") is None
-            and _rank_tile(Sp, A) < 16):
-        # no saved residuals AND the small-tile regime where the DMA
-        # re-gather backward collapses (see sweep.py save_children):
-        # the jnp re-gather chain is the faster backward here
-        use_fused = False
     s_mesh = site_sharded_mesh(shardings)
+    ns_tile = s_mesh.shape["s"] if s_mesh is not None else 1
+    if (use_fused and aux.get("child_l") is None
+            and _rank_tile(Sp // ns_tile, A) < 16):
+        # no saved residuals AND the small-tile regime where the DMA
+        # re-gather backward collapses (see sweep.py save_children,
+        # which computes the same per-shard tile): the jnp re-gather
+        # chain is the faster backward here
+        use_fused = False
     if use_fused and s_mesh is not None:
         # 's'-only mesh: per-shard backward kernels + psum'd
         # site-summed cotangents (kernels.shard_fused_rank_bwd)
