@@ -351,3 +351,156 @@ class TorchVNCSMC(TorchVCSMC):
 
         lw = torch.stack(log_weights)
         return torch.logsumexp(lw - math.log(self.K), dim=1).sum()
+
+
+class TorchBlockVCSMC(TorchVCSMC):
+    """Reference-equivalent discrete-Gamma (G rate categories) CPU
+    baseline: the product-space workload behind the framework's
+    GammaSites rows (gamma_primate_step / protein_gamma_step).
+
+    Same recursion shape as TorchVCSMC but every message carries a
+    category axis: core (K, n, S, G, A), transitions are the per-
+    category BLOCKS matrix_exp(r_g * Q * b) (K, G, A, A) -- the honest
+    blocked cost, not a dense (G*A)^2 expm -- and the root likelihood
+    averages categories (stationary pi/G per block, matching
+    phylo_tpu.models.substitution.GammaSites semantics).  Category
+    rates are fixed constants (discrete-Gamma, mean 1): learning alpha
+    adds G scalars of work and is cost-neutral for an anchor.
+    """
+
+    def __init__(self, genome_NxSxA, K, rates, **kw):
+        super().__init__(genome_NxSxA, K, **kw)
+        self.rates = torch.asarray(
+            np.asarray(rates), dtype=torch.float64
+        )
+        self.G = int(self.rates.shape[0])
+
+    def sweep(self, sites_idx=None):
+        N, K, A, G = self.N, self.K, self.A, self.G
+        leaves = self.leaves
+        if sites_idx is not None:
+            leaves = leaves[:, sites_idx]
+        Sb = leaves.shape[1]
+        # (K, n, S, G, A): replicated data, category axis broadcast
+        core = (leaves.unsqueeze(0).unsqueeze(3)
+                .expand(K, N, Sb, G, A).clone())
+        counts = torch.ones((K, N), dtype=torch.long)
+        Q = self.Q()
+        Qg = Q.unsqueeze(0) * self.rates[:, None, None]   # (G, A, A)
+        pi = self.stationary()
+        rates_l = torch.exp(self.log_rates_l)
+        rates_r = torch.exp(self.log_rates_r)
+
+        log_weights = []
+        log_ll_prev = None
+        tilde = torch.full((K,), -math.log(K), dtype=torch.float64)
+        bl_hist, br_hist = [], []
+        prev_w = None
+        ar = torch.arange(K)
+
+        for r in range(N - 1):
+            n = N - r
+            if r > 0:
+                probs = torch.softmax(prev_w.detach(), dim=0)
+                idx = torch.multinomial(probs, K, replacement=True,
+                                        generator=self.g)
+                core = core[idx]
+                counts = counts[idx]
+                tilde = log_ll_prev[idx]
+
+            z = -torch.log(-torch.log(
+                torch.rand((K, n), generator=self.g)
+            ))
+            pair = torch.topk(z, 2, dim=1).indices
+            p1, p2 = pair[:, 0], pair[:, 1]
+
+            u1 = torch.rand((K,), generator=self.g, dtype=torch.float64)
+            u2 = torch.rand((K,), generator=self.g, dtype=torch.float64)
+            b_l = -torch.log1p(-u1) / rates_l[r]
+            b_r = -torch.log1p(-u2) / rates_r[r]
+            bl_hist.append(b_l)
+            br_hist.append(b_r)
+
+            l_data = core[ar, p1]                  # (K, S, G, A)
+            r_data = core[ar, p2]
+            # blocked transitions: (K, G, A, A)
+            P_l = torch.matrix_exp(Qg[None] * b_l[:, None, None, None])
+            P_r = torch.matrix_exp(Qg[None] * b_r[:, None, None, None])
+            u = torch.einsum("ksga,kgab->ksgb", l_data, P_l)
+            v = torch.einsum("ksga,kgab->ksgb", r_data, P_r)
+            merged = u * v
+            new_count = counts[ar, p1] + counts[ar, p2]
+
+            keep = torch.ones((K, n), dtype=torch.bool)
+            keep[ar, p1] = False
+            keep[ar, p2] = False
+            core = torch.cat(
+                [core[:, :n][keep].reshape(K, n - 2, Sb, G, A),
+                 merged.unsqueeze(1)], dim=1)
+            counts = torch.cat(
+                [counts[:, :n][keep].reshape(K, n - 2),
+                 new_count.unsqueeze(1)], dim=1)
+
+            # category-averaged site likelihood (pi/G per block)
+            lik = torch.einsum("kxsga,a->kxs", core, pi) / G
+            data_ll = torch.log(lik).sum(dim=(1, 2))
+            topo = -log_double_factorial_odd(
+                2 * torch.clamp(counts, min=2).double() - 3
+            ).sum(dim=1)
+            lp_l = ((r + 1) * torch.log(rates_l[r])
+                    - rates_l[r] * torch.stack(bl_hist).sum(0))
+            lp_r = ((r + 1) * torch.log(rates_r[r])
+                    - rates_r[r] * torch.stack(br_hist).sum(0))
+            log_ll = data_ll + topo + lp_l + lp_r
+
+            v_minus = (counts - (counts == 1).long()).sum(dim=1).double()
+            q_branch = (torch.log(rates_l[r]) - rates_l[r] * b_l
+                        + torch.log(rates_r[r]) - rates_r[r] * b_r)
+            q_pen = 1.0 / (n * (n - 1) / 2.0)
+            w = log_ll - tilde - q_branch + torch.log(v_minus) - q_pen
+            log_weights.append(w)
+            log_ll_prev = log_ll
+            prev_w = w
+
+        lw = torch.stack(log_weights)
+        return torch.logsumexp(lw - math.log(self.K), dim=1).sum()
+
+
+class TorchGY94VCSMC(TorchVCSMC):
+    """Reference-equivalent GY94 codon CPU baseline (codon_gy94_step):
+    the parent recursion unchanged on the 61-codon state space, with Q
+    re-parameterized as Goldman-Yang (learnable kappa/omega, fixed
+    empirical frequencies, unit-mean-rate normalized -- mirrors
+    phylo_tpu.models.codon.GY94) and transitions via batched
+    matrix_exp on (K, 61, 61) float64, the cost a reference-shaped
+    codebase would pay (tf.linalg.expm)."""
+
+    def __init__(self, genome_codons, K, frequencies, masks, **kw):
+        super().__init__(genome_codons, K, **kw)
+        assert self.A == 61
+        self.freqs = torch.asarray(np.asarray(frequencies),
+                                   dtype=torch.float64)
+        nb, ts, syn = (torch.asarray(np.asarray(m), dtype=torch.float64)
+                       for m in masks)
+        self.nb, self.ts, self.syn = nb, ts, syn
+        self.log_kappa = torch.tensor(math.log(2.0), dtype=torch.float64,
+                                      requires_grad=True)
+        self.log_omega = torch.tensor(math.log(0.2), dtype=torch.float64,
+                                      requires_grad=True)
+
+    def params(self):
+        return [self.log_rates_l, self.log_rates_r, self.log_kappa,
+                self.log_omega]
+
+    def stationary(self):
+        return self.freqs
+
+    def Q(self):
+        kappa = torch.exp(self.log_kappa)
+        omega = torch.exp(self.log_omega)
+        rate = (self.nb * torch.where(self.ts > 0, kappa, 1.0)
+                * torch.where(self.syn > 0, 1.0, omega))
+        q = rate * self.freqs[None, :]
+        q = q - torch.diag(q.sum(dim=1))
+        mean_rate = -(self.freqs * torch.diagonal(q)).sum()
+        return q / torch.clamp(mean_rate, min=1e-30)

@@ -384,9 +384,11 @@ def measure_details():
                     "step_seconds",
                     out["spike_a7_step"]["train_step_ms"] / 1000)
 
-    # 5d. protein + Gamma (A = 20, G = 4 -> A' = 80 product space, jnp
-    #     blocked-merge path): the reference is DNA-only, so this row
-    #     has no CPU anchor -- it pins the regime's absolute time.
+    # 5d. protein + Gamma (A = 20, G = 4 -> A' = 80 product space):
+    #     since round 5 this rides the wide MXU rank kernels + manual
+    #     VJP + Poisson power-table expm (221.9 -> ~40 ms).  The
+    #     reference is DNA-only; the CPU anchor is the blocked torch
+    #     recursion (baselines TorchBlockVCSMC).
     rngp = np.random.default_rng(7)
     prot = np.eye(20)[rngp.integers(0, 20, (16, 500))]
     pmodel = GammaSites(ReferenceQ(A=20), G=4)
@@ -404,7 +406,8 @@ def measure_details():
     t, (v, _) = timed(pfn, pparams, jax.random.PRNGKey(0), iters=5)
     out["protein_gamma_step"] = {
         "config": "simulated protein 16x500 A=20 GammaSites G=4 K=256 "
-                  "full-S fwd+grad",
+                  "full-S fwd+grad (wide MXU rank kernels + manual VJP "
+                  "+ Poisson expm)",
         "train_step_ms": round(t * 1000, 3),
         "elbo": -float(v),
     }
@@ -433,7 +436,8 @@ def measure_details():
     t, (v, _) = timed(cfn, cparams, jax.random.PRNGKey(0), iters=10)
     out["codon_gy94_step"] = {
         "config": "betacorona1 codons 17x1086 A=61 GY94(spectral) "
-                  "K=128 full-S fwd+grad",
+                  "K=128 full-S fwd+grad (wide MXU rank kernels + "
+                  "manual VJP)",
         "train_step_ms": round(t * 1000, 3),
         "elbo": -float(v),
     }

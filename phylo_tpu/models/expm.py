@@ -49,6 +49,16 @@ _KERNEL_MODE = _os.environ.get("PHYLO_EXPM_KERNEL", "auto")
 _WIDE_PRECISION = _os.environ.get("PHYLO_EXPM_WIDE_PRECISION",
                                   "highest")
 
+# PHYLO_EXPM_POISSON: "auto" (default) routes wide-alphabet (A > 8)
+# shared-Q f32 TPU calls through expm_poisson -- the Poisson-weighted
+# power-table form whose batched work is ONE dense MXU matmul instead
+# of the 23 batched A x A matmuls of the delta chain.  The chain at
+# A=20 is lane-padded 20 -> 128 by XLA, so it runs ~13x off its own
+# roofline and dominated the protein train step (165 of 198 ms,
+# tools/protein_trace.py round 5).  "1" forces it everywhere the shape
+# allows, "0" disables.
+_POISSON_MODE = _os.environ.get("PHYLO_EXPM_POISSON", "auto")
+
 # Sharded traces: pallas_call has no partitioning rule of its own, so
 # under a mesh the Shardy partitioner runs the kernel fully REPLICATED
 # (each device computes the whole batch) -- correct, and no slower than
@@ -118,6 +128,15 @@ def expm_ctmc(Q, b, *, order=12, squarings=12):
 
         return expm_ctmc_pallas(
             Q.astype(dtype), b.astype(dtype), order, squarings)
+    use_poisson = Q.ndim == 2 and (
+        _POISSON_MODE == "1"
+        or (_POISSON_MODE == "auto"
+            and jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            and A > 8)
+    )
+    if use_poisson:
+        return expm_poisson(Q.astype(dtype), b.astype(dtype))
     Q = Q.astype(dtype)
     b = b.astype(dtype)
 
@@ -140,6 +159,90 @@ def expm_ctmc(Q, b, *, order=12, squarings=12):
         D = 2.0 * D + _matmul(D, D)
 
     return jnp.exp(-mu * b_eff)[..., None, None] * (eye + D)
+
+
+def _stirling_residuals(n_max):
+    """c_n = lgamma(n+1) - (n ln n - n + 0.5 ln(2 pi n)), n = 1..n_max,
+    as float64 host constants (~1/(12n), tiny)."""
+    import math
+
+    import numpy as np
+
+    n = np.arange(1, n_max + 1, dtype=np.float64)
+    lg = np.array([math.lgamma(v + 1.0) for v in n])
+    return lg - (n * np.log(n) - n + 0.5 * np.log(2.0 * np.pi * n))
+
+
+def expm_poisson(Q, b, *, n_max=160, clamp=80.0):
+    """expm(Q * b) for a SHARED rate matrix Q (A, A) and batched b via
+    the Poisson-weighted power table:
+
+        expm(Q b) = sum_n  pois(n; mu b) R^n,   R = Q/mu + I
+
+    The R^n table (n_max+1 tiny A x A matmuls, batch-free) is computed
+    once; every batched transition is then ONE dense (B, n_max+1) @
+    (n_max+1, A^2) MXU contraction.  The delta chain (expm_ctmc) runs
+    23 *batched* A x A matmuls instead, and at A=20 XLA lane-pads each
+    20-wide matrix to 128 -- measured 165 of the 198 ms protein train
+    step (tools/protein_trace.py, round 5).  Traffic here is one
+    (B, A, A) write + a (B, n_max) weight array: ~70x less.
+
+    Weights are computed in log space with a Stirling-residual
+    rearrangement that is f32-stable at mu b up to the clamp (the
+    naive -t + n log t - lgamma(n+1) cancels ~700-magnitude terms):
+
+        log w_n = n (log1p(d_n) - d_n) - 0.5 log(2 pi n) - c_n,
+        d_n = (t - n)/n,  c_n = Stirling residual (host f64 constant)
+
+    whose error is eps * |t - n| <= ~5e-6 in the log.  All terms are
+    nonnegative (no cancellation in the sum), so the result is exactly
+    nonnegative like the chain.  n_max=160 puts the Poisson tail at
+    t = clamp = 80 below 1e-13 (Chernoff).  b with mu b < 1e-6 take
+    the first-order branch I + b Q (error O(t^2) ~ 1e-12; also keeps
+    the series gradients finite at t -> 0).
+    """
+    import numpy as np
+
+    Q = jnp.asarray(Q)
+    b = jnp.asarray(b)
+    A = Q.shape[-1]
+    dtype = jnp.result_type(Q.dtype, b.dtype)
+    Q = Q.astype(dtype)
+    b = b.astype(dtype)
+
+    mu = jnp.maximum(jnp.max(-jnp.diagonal(Q)), 1e-30)
+    eye = jnp.eye(A, dtype=dtype)
+    R = Q / mu + eye
+
+    # power table: R^0 .. R^n_max, (n_max+1, A, A)
+    pows = [eye]
+    for _ in range(n_max):
+        pows.append(_matmul(pows[-1], R))
+    table = jnp.stack(pows).reshape(n_max + 1, A * A)
+
+    t = mu * jnp.minimum(b, clamp / mu)            # (...,)
+    t_safe = jnp.maximum(t, 1e-6)[..., None]       # (..., 1)
+    n = jnp.arange(1, n_max + 1, dtype=dtype)
+    c_n = jnp.asarray(_stirling_residuals(n_max), dtype)
+    d = (t_safe - n) / n
+    # log(t/n) as log1p(d) only where it is accurate AND safe: in f32,
+    # d rounds to exactly -1 when t/n < eps (log1p -> -inf, VJP ->
+    # 1/(1+d) = inf -> NaN gradients); far from d=0 the direct log has
+    # no cancellation anyway.  Double-where keeps both branch
+    # gradients finite.
+    small = jnp.abs(d) < 0.5
+    d_safe = jnp.where(small, d, 0.0)
+    log_ratio = jnp.where(small, jnp.log1p(d_safe),
+                          jnp.log(t_safe / n))
+    log_w = (n * (log_ratio - d)
+             - 0.5 * jnp.log(2.0 * np.pi * n) - c_n)
+    log_w = jnp.concatenate([-t_safe, log_w], axis=-1)   # n = 0 column
+    w = jnp.exp(log_w)                             # (..., n_max+1)
+    P = jnp.einsum("...n,nx->...x", w, table,
+                   precision="highest").reshape(b.shape + (A, A))
+    # tiny-t branch: first-order expm, exact gradients at t -> 0
+    lin = eye + b[..., None, None] * Q
+    return jnp.where((t < 1e-6)[..., None, None], lin, P)
 
 
 def expm_reversible(Q, pi, b, *, clip=True):

@@ -1127,6 +1127,28 @@ FUSED_RANK = _os.environ.get("PHYLO_FUSED_RANK", "1") == "1"
 SAVE_CHILDREN_CAP = int(
     _os.environ.get("PHYLO_SAVE_CHILDREN_CAP", str(2 ** 28))
 )
+# Above this many unrolled multiply-add terms (G*A*A) the plane-
+# unrolled VPU contraction blows the Mosaic unroll budget; the rank
+# kernels switch to the MXU ("wide") bodies -- per-particle
+# lax.dot_general contractions at f32-exact precision -- covering
+# GY94 codons (A=61 -> 64 padded) and protein models (A=20, dense or
+# G-blocked).  GammaSites G=4 x A=4 sits exactly AT the cap and keeps
+# the tuned unrolled body.
+WIDE_UNROLL_CAP = 64
+# element budget tk*planes*Sp for the wide tile (see _rank_tile)
+WIDE_RANK_CAP = int(_os.environ.get("PHYLO_WIDE_RANK_CAP", str(256 * 1024)))
+# matmul precision inside the wide kernels: 'highest' = exact-f32
+# multi-pass emulation (the merge contraction feeds log-likelihood
+# sums over thousands of sites; bf16 rounding biases them by O(10) --
+# see felsenstein.merge_messages).
+_WIDE_DOT_PRECISION = _os.environ.get("PHYLO_WIDE_DOT_PRECISION", "highest")
+
+
+def wide_rank_kernel(G, A):
+    """True when the (G, A) block structure takes the MXU kernel
+    bodies instead of the unrolled-VPU ones (shared gate for the sweep
+    and the manual-VJP reverse pass so tile sizes agree)."""
+    return G * A * A > WIDE_UNROLL_CAP
 
 
 def _kernel_alloc(o_ref):
@@ -1160,16 +1182,25 @@ def alloc_rank_buffer(K, R, GA, Sp, dtype):
     )()
 
 
-def _rank_tile(Sp, planes=4):
+def _rank_tile(Sp, planes=4, wide=False):
     """Particles per program for the fused rank kernels, shrunk for
     long sequences so the (tk, planes, Sp)-sized VMEM blocks (2 scratch
     + 2 cotangent outputs + live intermediates in the backward) stay
     under the 16 MB scoped-vmem limit (DS1 Sp=2048 OOMed at tk=32).
     `planes` is the state dimension of the message blocks (G*A for
     block-structured models); the budget is bytes-equivalent to the
-    original A=4 tuning point tk*Sp <= 32*1024."""
+    original A=4 tuning point tk*Sp <= 32*1024.
+
+    wide=True is the MXU-contraction regime (G*A*A > WIDE_UNROLL_CAP,
+    codon A=61 / protein A=20): its backward keeps ~15 live
+    (tk, planes, Sp) f32 buffers (pipelined in/out blocks are double-
+    buffered + u/v/wp intermediates), so the element budget doubles
+    per buffer but the floor drops to 1 (a tk=2 block at GA=64
+    Sp=1152 is already 0.6 MB)."""
     tk = TKF
-    while tk > 8 and tk * planes * Sp > 4 * 32 * 1024:
+    cap = WIDE_RANK_CAP if wide else 4 * 32 * 1024
+    floor = 1 if wide else 8
+    while tk > floor and tk * planes * Sp > cap:
         tk //= 2
     return tk
 
@@ -1270,6 +1301,149 @@ def _kernel_rank(idx_ref, outc_ref, leaves_hbm, buf_hbm, pl_ref, pr_ref,
     )
 
 
+def _dot_planes(P_k, m_k, G, A, dims):
+    """Per-particle contraction of (block) transitions against a
+    states-major message on the MXU: P_k (G, A, A) [(A, A) when G=1],
+    m_k (G*A, Sp) -> (G*A, Sp), one lax.dot_general per block.
+
+    dims=((0,), (0,)) contracts P's row index (out[b,s] = sum_a
+    P[a,b] m[a,s], the forward/transposed apply); ((1,), (0,))
+    contracts the column index (out[a,s] = sum_b P[a,b] m[b,s], the
+    backward dm apply)."""
+    rows = []
+    for g in range(G):
+        Pg = P_k[g] if G > 1 else P_k
+        mg = m_k[g * A:(g + 1) * A, :]
+        rows.append(lax.dot_general(
+            Pg, mg, (dims, ((), ())),
+            preferred_element_type=Pg.dtype,
+            precision=_WIDE_DOT_PRECISION,
+        ))
+    return rows[0] if G == 1 else jnp.concatenate(rows, axis=0)
+
+
+def _kernel_rank_wide(idx_ref, outc_ref, leaves_hbm, buf_hbm, pl_ref,
+                      pr_ref, pi_ref, w_ref, bufo_ref, rootll_ref,
+                      logscale_ref, *rest, A, N, tk, G=1, save=False):
+    """MXU variant of _kernel_rank for wide alphabets (G*A*A >
+    WIDE_UNROLL_CAP): the A-contraction rides per-particle
+    lax.dot_general (exact-f32 multi-pass) instead of the unrolled VPU
+    multiply-add chain, and the plane arithmetic runs on whole
+    (tk, G*A, Sp) arrays.  P blocks arrive UNflattened ((tk, A, A) or
+    (tk, G, A, A)) and pi as a (G*A, 1) column."""
+    from jax.experimental import pallas as pl
+
+    if save:
+        m1o_ref, m2o_ref, m1_s, m2_s, sems = rest
+    else:
+        m1_s, m2_s, sems = rest
+    ik = pl.program_id(0)
+    _dma_gather_children(idx_ref, leaves_hbm, buf_hbm, m1_s, m2_s,
+                         sems, ik * tk, N, tk)
+    if save:
+        m1o_ref[:] = m1_s[:]
+        m2o_ref[:] = m2_s[:]
+
+    dims = ((0,), (0,))
+    u = jnp.stack([_dot_planes(pl_ref[k], m1_s[k], G, A, dims)
+                   for k in range(tk)])
+    v = jnp.stack([_dot_planes(pr_ref[k], m2_s[k], G, A, dims)
+                   for k in range(tk)])
+    w = u * v                                       # (tk, GA, Sp)
+    raw = jnp.max(w, axis=1)                        # (tk, Sp)
+    scale = jnp.maximum(raw, jnp.finfo(w.dtype).tiny)
+    bufo_ref[:, 0] = w / scale[:, None, :]
+    site = jnp.sum(w * pi_ref[:][None], axis=1)     # (tk, Sp)
+
+    weights = w_ref[:]                              # (1, Sp)
+    # rootll/logscale ride FULL-ARRAY (K, 1) blocks (the wide tile tk
+    # can drop below the 8-sublane minimum, so (tk, 1) blocks are not
+    # lowerable); each program writes its own sublane slice
+    sl = pl.ds(ik * tk, tk)
+    rootll_ref[sl, :] = jnp.sum(jnp.log(site) * weights, axis=-1,
+                                keepdims=True)
+    logscale_ref[sl, :] = jnp.sum(jnp.log(scale) * weights, axis=-1,
+                                  keepdims=True)
+
+
+def _rank_bwd_core_wide(m1_s, m2_s, pl_ref, pr_ref, pi_ref, w_ref,
+                        gm_ref, gr_ref, gl_ref, dm1_ref, dm2_ref,
+                        dpl_ref, dpr_ref, dpi_ref, dw_ref, *, A, G=1):
+    """MXU variant of _rank_bwd_core (same cotangent math, incl. the
+    reduce_max split-among-ties routing and the maximum(raw, tiny)
+    half-split): dm via P-apply dots, dP via S-deep dots."""
+    from jax.experimental import pallas as pl
+
+    ik = pl.program_id(0)
+    w = w_ref[:]                                    # (1, Sp)
+    dtype = w.dtype
+    tk = dm1_ref.shape[0]
+    m1 = m1_s[:]
+    m2 = m2_s[:]
+    dims = ((0,), (0,))
+    u = jnp.stack([_dot_planes(pl_ref[k], m1[k], G, A, dims)
+                   for k in range(tk)])
+    v = jnp.stack([_dot_planes(pr_ref[k], m2[k], G, A, dims)
+                   for k in range(tk)])
+    wp = u * v                                      # (tk, GA, Sp)
+    pi_b = pi_ref[:][None]                          # (1, GA, 1)
+    site = jnp.sum(wp * pi_b, axis=1)               # (tk, Sp)
+    raw = jnp.max(wp, axis=1)
+    tiny = jnp.finfo(dtype).tiny
+    scale = jnp.maximum(raw, tiny)
+
+    gm = gm_ref[:]                                  # (tk, GA, Sp)
+    # gr/gl arrive as FULL-ARRAY (K, 1) blocks (see _kernel_rank_wide)
+    sl = pl.ds(ik * tk, tk)
+    gr = gr_ref[sl, :]                              # (tk, 1)
+    gl = gl_ref[sl, :]
+    dsite = (gr * w) / site                         # (tk, Sp)
+    inv = 1.0 / scale
+    dscale = (gl * w) * inv - jnp.sum(gm * wp, axis=1) * (inv * inv)
+    draw = dscale * (
+        (raw > tiny).astype(dtype) + 0.5 * (raw == tiny).astype(dtype)
+    )
+    eq = (wp == raw[:, None, :]).astype(dtype)
+    neq = jnp.sum(eq, axis=1)                       # (tk, Sp)
+    dwp = (gm * inv[:, None, :] + dsite[:, None, :] * pi_b
+           + draw[:, None, :] * eq / neq[:, None, :])
+    du = dwp * v
+    dv = dwp * u
+    dims_bwd = ((1,), (0,))
+    dims_s = (((1,), (1,)), ((), ()))
+    for k in range(tk):
+        dm1_ref[k] = _dot_planes(pl_ref[k], du[k], G, A, dims_bwd)
+        dm2_ref[k] = _dot_planes(pr_ref[k], dv[k], G, A, dims_bwd)
+        for g in range(G):
+            sl = slice(g * A, (g + 1) * A)
+            dPl_kg = lax.dot_general(
+                m1[k, sl], du[k, sl], dims_s,
+                preferred_element_type=dtype,
+                precision=_WIDE_DOT_PRECISION,
+            )
+            dPr_kg = lax.dot_general(
+                m2[k, sl], dv[k, sl], dims_s,
+                preferred_element_type=dtype,
+                precision=_WIDE_DOT_PRECISION,
+            )
+            if G > 1:
+                dpl_ref[k, g] = dPl_kg
+                dpr_ref[k, g] = dPr_kg
+            else:
+                dpl_ref[k] = dPl_kg
+                dpr_ref[k] = dPr_kg
+
+    @pl.when(ik == 0)
+    def _():
+        dpi_ref[:] = jnp.zeros_like(dpi_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    dpi_ref[0, :] += jnp.sum(dsite[:, None, :] * wp, axis=(0, 2))
+    dw_ref[0, :] += jnp.sum(
+        gr * jnp.log(site) + gl * jnp.log(scale), axis=0
+    )
+
+
 def blockdiag_dense(P):
     """(..., G, A, A) block transitions -> dense (..., G*A, G*A) block-
     diagonal matrices.  Zero off-block entries make the dense merge
@@ -1351,20 +1525,50 @@ def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights,
     N = leaves.shape[0]
     G = P_l.shape[1] if P_l.ndim == 4 else 1   # blocked: (K, G, A, A)
     A = GA // G
-    tk = _rank_tile(Sp, GA)
+    wide = wide_rank_kernel(G, A)
+    tk = _rank_tile(Sp, GA, wide=wide)
     grid = (K // tk,)
     dtype = buf.dtype
 
+    if wide:
+        # MXU bodies take P blocks unflattened and pi as a column
+        p_block = (tk,) + P_l.shape[1:]
+        p_spec = pl.BlockSpec(
+            p_block, lambda ik, idx, outc: (ik,) + (0,) * (len(p_block) - 1),
+            memory_space=pltpu.VMEM,
+        )
+        pi_spec = pl.BlockSpec((GA, 1), lambda ik, idx, outc: (0, 0),
+                               memory_space=pltpu.VMEM)
+        p_l_arg, p_r_arg, pi_arg = P_l, P_r, pi[:, None]
+        kernel = _kernel_rank_wide
+    else:
+        p_spec = pl.BlockSpec((tk, G * A * A),
+                              lambda ik, idx, outc: (ik, 0),
+                              memory_space=pltpu.VMEM)
+        pi_spec = pl.BlockSpec((1, GA), lambda ik, idx, outc: (0, 0),
+                               memory_space=pltpu.VMEM)
+        p_l_arg = P_l.reshape(K, G * A * A)
+        p_r_arg = P_r.reshape(K, G * A * A)
+        pi_arg = pi[None]
+        kernel = _kernel_rank
+
+    if wide:
+        # full-array (K, 1) accumulator blocks: the wide tile tk can
+        # drop below the 8-sublane block minimum, so each program
+        # writes its own sublane slice of a resident (K, 1) buffer
+        acc_spec = pl.BlockSpec((K, 1), lambda ik, idx, outc: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        acc_spec = pl.BlockSpec((tk, 1), lambda ik, idx, outc: (ik, 0),
+                                memory_space=pltpu.VMEM)
     out_specs = [
         pl.BlockSpec(
             (tk, 1, GA, Sp),
             lambda ik, idx, outc: (ik, outc[0], 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec((tk, 1), lambda ik, idx, outc: (ik, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tk, 1), lambda ik, idx, outc: (ik, 0),
-                     memory_space=pltpu.VMEM),
+        acc_spec,
+        acc_spec,
     ]
     out_shape = [
         jax.ShapeDtypeStruct(buf.shape, dtype),
@@ -1389,12 +1593,9 @@ def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((tk, G * A * A), lambda ik, idx, outc: (ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, G * A * A), lambda ik, idx, outc: (ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GA), lambda ik, idx, outc: (0, 0),
-                         memory_space=pltpu.VMEM),
+            p_spec,
+            p_spec,
+            pi_spec,
             pl.BlockSpec((1, Sp), lambda ik, idx, outc: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -1406,14 +1607,13 @@ def fused_rank_update(leaves, buf, idx, outc, P_l, P_r, pi, weights,
         ],
     )
     outs = pl.pallas_call(
-        functools.partial(_kernel_rank, A=A, N=N, tk=tk, G=G,
+        functools.partial(kernel, A=A, N=N, tk=tk, G=G,
                           save=save_children),
         grid_spec=grid_spec,
         interpret=INTERPRET,
         out_shape=out_shape,
         input_output_aliases={3: 0},   # buf (after 2 scalar args + leaves)
-    )(idx, outc, leaves, buf, P_l.reshape(K, G * A * A),
-      P_r.reshape(K, G * A * A), pi[None], weights[None])
+    )(idx, outc, leaves, buf, p_l_arg, p_r_arg, pi_arg, weights[None])
     buf_out, rootll, logscale = outs[:3]
     if save_children:
         return (buf_out, rootll[:, 0], logscale[:, 0], outs[3], outs[4])
@@ -1452,6 +1652,31 @@ def _kernel_rank_bwd_saved(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref,
     _rank_bwd_core(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
                    gm_ref, gr_ref, gl_ref, dm1_ref, dm2_ref, dpl_ref,
                    dpr_ref, dpi_ref, dw_ref, A=A, G=G)
+
+
+def _kernel_rank_bwd_wide(idx_ref, leaves_hbm, buf_hbm, pl_ref, pr_ref,
+                          pi_ref, w_ref, gm_ref, gr_ref, gl_ref,
+                          dm1_ref, dm2_ref, dpl_ref, dpr_ref, dpi_ref,
+                          dw_ref, m1_s, m2_s, sems, *, A, N, tk, G=1):
+    """MXU twin of _kernel_rank_bwd (DMA child re-gather + wide core)."""
+    from jax.experimental import pallas as pl
+
+    ik = pl.program_id(0)
+    _dma_gather_children(idx_ref, leaves_hbm, buf_hbm, m1_s, m2_s,
+                         sems, ik * tk, N, tk)
+    _rank_bwd_core_wide(m1_s, m2_s, pl_ref, pr_ref, pi_ref, w_ref,
+                        gm_ref, gr_ref, gl_ref, dm1_ref, dm2_ref,
+                        dpl_ref, dpr_ref, dpi_ref, dw_ref, A=A, G=G)
+
+
+def _kernel_rank_bwd_saved_wide(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref,
+                                w_ref, gm_ref, gr_ref, gl_ref, dm1_ref,
+                                dm2_ref, dpl_ref, dpr_ref, dpi_ref,
+                                dw_ref, *, A, G=1):
+    """MXU twin of _kernel_rank_bwd_saved (streamed saved children)."""
+    _rank_bwd_core_wide(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
+                        gm_ref, gr_ref, gl_ref, dm1_ref, dm2_ref,
+                        dpl_ref, dpr_ref, dpi_ref, dw_ref, A=A, G=G)
 
 
 def _rank_bwd_core(m1_s, m2_s, pl_ref, pr_ref, pi_ref, w_ref, gm_ref,
@@ -1611,9 +1836,44 @@ def fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l, P_r, pi, weights):
     N = leaves.shape[0]
     G = P_l.shape[1] if P_l.ndim == 4 else 1   # blocked: (K, G, A, A)
     A = GA // G
-    tk = _rank_tile(Sp, GA)
+    wide = wide_rank_kernel(G, A)
+    tk = _rank_tile(Sp, GA, wide=wide)
     nprog = K // tk
     dtype = buf.dtype
+
+    if wide:
+        p_block = (tk,) + P_l.shape[1:]
+        p_spec = pl.BlockSpec(
+            p_block, lambda ik, idx: (ik,) + (0,) * (len(p_block) - 1),
+            memory_space=pltpu.VMEM,
+        )
+        pi_spec = pl.BlockSpec((GA, 1), lambda ik, idx: (0, 0),
+                               memory_space=pltpu.VMEM)
+        p_l_arg, p_r_arg, pi_arg = P_l, P_r, pi[:, None]
+        dp_shape = (K,) + P_l.shape[1:]
+        kernel = _kernel_rank_bwd_wide
+    else:
+        p_spec = pl.BlockSpec((tk, G * A * A), lambda ik, idx: (ik, 0),
+                              memory_space=pltpu.VMEM)
+        pi_spec = pl.BlockSpec((1, GA), lambda ik, idx: (0, 0),
+                               memory_space=pltpu.VMEM)
+        p_l_arg = P_l.reshape(K, G * A * A)
+        p_r_arg = P_r.reshape(K, G * A * A)
+        pi_arg = pi[None]
+        dp_shape = (K, G * A * A)
+        kernel = _kernel_rank_bwd
+    dp_spec = pl.BlockSpec(
+        (tk,) + dp_shape[1:],
+        lambda ik, idx: (ik,) + (0,) * (len(dp_shape) - 1),
+        memory_space=pltpu.VMEM,
+    )
+    if wide:
+        # full-array (K, 1) gr/gl blocks (wide tk may be < 8 sublanes)
+        g_spec = pl.BlockSpec((K, 1), lambda ik, idx: (0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        g_spec = pl.BlockSpec((tk, 1), lambda ik, idx: (ik, 0),
+                              memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1621,30 +1881,23 @@ def fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l, P_r, pi, weights):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((tk, G * A * A), lambda ik, idx: (ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, G * A * A), lambda ik, idx: (ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GA), lambda ik, idx: (0, 0),
-                         memory_space=pltpu.VMEM),
+            p_spec,
+            p_spec,
+            pi_spec,
             pl.BlockSpec((1, Sp), lambda ik, idx: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, GA, Sp), lambda ik, idx: (ik, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, 1), lambda ik, idx: (ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, 1), lambda ik, idx: (ik, 0),
-                         memory_space=pltpu.VMEM),
+            g_spec,
+            g_spec,
         ],
         out_specs=[
             pl.BlockSpec((tk, GA, Sp), lambda ik, idx: (ik, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, GA, Sp), lambda ik, idx: (ik, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, G * A * A), lambda ik, idx: (ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, G * A * A), lambda ik, idx: (ik, 0),
-                         memory_space=pltpu.VMEM),
+            dp_spec,
+            dp_spec,
             pl.BlockSpec((8, GA), lambda ik, idx: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, Sp), lambda ik, idx: (0, 0),
@@ -1657,19 +1910,18 @@ def fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l, P_r, pi, weights):
         ],
     )
     dm1, dm2, dpl, dpr, dpi, dw = pl.pallas_call(
-        functools.partial(_kernel_rank_bwd, A=A, N=N, tk=tk, G=G),
+        functools.partial(kernel, A=A, N=N, tk=tk, G=G),
         grid_spec=grid_spec,
         interpret=INTERPRET,
         out_shape=[
             jax.ShapeDtypeStruct((K, GA, Sp), dtype),
             jax.ShapeDtypeStruct((K, GA, Sp), dtype),
-            jax.ShapeDtypeStruct((K, G * A * A), dtype),
-            jax.ShapeDtypeStruct((K, G * A * A), dtype),
+            jax.ShapeDtypeStruct(dp_shape, dtype),
+            jax.ShapeDtypeStruct(dp_shape, dtype),
             jax.ShapeDtypeStruct((8, GA), dtype),
             jax.ShapeDtypeStruct((8, Sp), dtype),
         ],
-    )(idx, leaves, buf, P_l.reshape(K, G * A * A),
-      P_r.reshape(K, G * A * A), pi[None], weights[None], gm,
+    )(idx, leaves, buf, p_l_arg, p_r_arg, pi_arg, weights[None], gm,
       gr[:, None], gl[:, None])
     dpl = dpl.reshape((K,) + P_l.shape[1:])
     dpr = dpr.reshape((K,) + P_r.shape[1:])
@@ -1710,9 +1962,43 @@ def fused_rank_bwd_saved(m1, m2, gm, gr, gl, P_l, P_r, pi, weights):
     K, GA, Sp = m1.shape
     G = P_l.shape[1] if P_l.ndim == 4 else 1   # blocked: (K, G, A, A)
     A = GA // G
-    tk = _rank_tile(Sp, GA)
+    wide = wide_rank_kernel(G, A)
+    tk = _rank_tile(Sp, GA, wide=wide)
     nprog = K // tk
     dtype = m1.dtype
+
+    if wide:
+        p_block = (tk,) + P_l.shape[1:]
+        p_spec = pl.BlockSpec(
+            p_block, lambda ik: (ik,) + (0,) * (len(p_block) - 1),
+            memory_space=pltpu.VMEM,
+        )
+        pi_spec = pl.BlockSpec((GA, 1), lambda ik: (0, 0),
+                               memory_space=pltpu.VMEM)
+        p_l_arg, p_r_arg, pi_arg = P_l, P_r, pi[:, None]
+        dp_shape = (K,) + P_l.shape[1:]
+        kernel = _kernel_rank_bwd_saved_wide
+    else:
+        p_spec = pl.BlockSpec((tk, G * A * A), lambda ik: (ik, 0),
+                              memory_space=pltpu.VMEM)
+        pi_spec = pl.BlockSpec((1, GA), lambda ik: (0, 0),
+                               memory_space=pltpu.VMEM)
+        p_l_arg = P_l.reshape(K, G * A * A)
+        p_r_arg = P_r.reshape(K, G * A * A)
+        pi_arg = pi[None]
+        dp_shape = (K, G * A * A)
+        kernel = _kernel_rank_bwd_saved
+    dp_spec = pl.BlockSpec(
+        (tk,) + dp_shape[1:],
+        lambda ik: (ik,) + (0,) * (len(dp_shape) - 1),
+        memory_space=pltpu.VMEM,
+    )
+    if wide:
+        g_spec = pl.BlockSpec((K, 1), lambda ik: (0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        g_spec = pl.BlockSpec((tk, 1), lambda ik: (ik, 0),
+                              memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -1722,30 +2008,23 @@ def fused_rank_bwd_saved(m1, m2, gm, gr, gl, P_l, P_r, pi, weights):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, GA, Sp), lambda ik: (ik, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, G * A * A), lambda ik: (ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, G * A * A), lambda ik: (ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GA), lambda ik: (0, 0),
-                         memory_space=pltpu.VMEM),
+            p_spec,
+            p_spec,
+            pi_spec,
             pl.BlockSpec((1, Sp), lambda ik: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, GA, Sp), lambda ik: (ik, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, 1), lambda ik: (ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, 1), lambda ik: (ik, 0),
-                         memory_space=pltpu.VMEM),
+            g_spec,
+            g_spec,
         ],
         out_specs=[
             pl.BlockSpec((tk, GA, Sp), lambda ik: (ik, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, GA, Sp), lambda ik: (ik, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, G * A * A), lambda ik: (ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, G * A * A), lambda ik: (ik, 0),
-                         memory_space=pltpu.VMEM),
+            dp_spec,
+            dp_spec,
             pl.BlockSpec((8, GA), lambda ik: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, Sp), lambda ik: (0, 0),
@@ -1753,19 +2032,19 @@ def fused_rank_bwd_saved(m1, m2, gm, gr, gl, P_l, P_r, pi, weights):
         ],
     )
     dm1, dm2, dpl, dpr, dpi, dw = pl.pallas_call(
-        functools.partial(_kernel_rank_bwd_saved, A=A, G=G),
+        functools.partial(kernel, A=A, G=G),
         grid_spec=grid_spec,
         interpret=INTERPRET,
         out_shape=[
             jax.ShapeDtypeStruct((K, GA, Sp), dtype),
             jax.ShapeDtypeStruct((K, GA, Sp), dtype),
-            jax.ShapeDtypeStruct((K, G * A * A), dtype),
-            jax.ShapeDtypeStruct((K, G * A * A), dtype),
+            jax.ShapeDtypeStruct(dp_shape, dtype),
+            jax.ShapeDtypeStruct(dp_shape, dtype),
             jax.ShapeDtypeStruct((8, GA), dtype),
             jax.ShapeDtypeStruct((8, Sp), dtype),
         ],
-    )(m1, m2, P_l.reshape(K, G * A * A), P_r.reshape(K, G * A * A),
-      pi[None], weights[None], gm, gr[:, None], gl[:, None])
+    )(m1, m2, p_l_arg, p_r_arg, pi_arg, weights[None], gm,
+      gr[:, None], gl[:, None])
     dpl = dpl.reshape((K,) + P_l.shape[1:])
     dpr = dpr.reshape((K,) + P_r.shape[1:])
     return dm1, dm2, dpl, dpr, dpi[:1], dw[:1]

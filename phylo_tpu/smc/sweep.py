@@ -465,7 +465,13 @@ def sample_phylogenies(key, leaves, model, params, config, *,
     manual = config.manual_vjp
     N, S = leaves.shape[0], leaves.shape[1]
     if manual == "auto":
-        manual = config.K * N * S >= 3_000_000 and N <= 64
+        # flops scale with A^2, so the size gate weighs the alphabet:
+        # K*N*S*A >= 12e6 reduces to the original K*N*S >= 3e6 at
+        # DNA's A=4 and admits codon (A=61) / protein (A=20) configs
+        # at proportionally smaller K*N*S -- those are exactly the
+        # shapes the wide MXU rank kernels (manual-VJP-only) target
+        A_states = leaves.shape[2]
+        manual = config.K * N * S * A_states >= 12_000_000 and N <= 64
         if config.twist is not None:
             # the twist path's AD bookkeeping (per-rank buffer
             # residuals + dense chunk-cotangent accumulation) is what
@@ -569,8 +575,10 @@ def _sample_body(key, leaves, model, params, config, *,
     GA_dim = leaves.shape[1]
     if GA_dim % 8 == 0 or 8 % GA_dim == 0:
         plane_pad = 0
-    elif blocks is None and GA_dim < 8:
-        plane_pad = 8 - GA_dim
+    elif blocks is None and GA_dim <= 128:
+        # pad dense states to the 8-row tile: 5..7 -> 8 (unrolled
+        # kernels), 20 -> 24 / 61 -> 64 (wide MXU kernels)
+        plane_pad = (-GA_dim) % 8
     elif blocks is not None:
         GAp = -(-GA_dim // 8) * 8
         plane_pad = (GAp - GA_dim
@@ -590,7 +598,20 @@ def _sample_body(key, leaves, model, params, config, *,
         and kernel_backend
         and blocks is not None
         and plane_pad is not None
-        and blocks_padded[0] * blocks_padded[1] ** 2 <= 64
+        # <= 64 unrolled terms: the tuned VPU bodies; above: the wide
+        # MXU bodies (per-block dot_general), capped at 128-wide blocks
+        and blocks_padded[1] <= 128
+    )
+    # dense wide alphabets (codon A=61, protein A=20): the MXU rank
+    # kernels (kernels._kernel_rank_wide) take over where the A^2
+    # unroll is infeasible -- manual-VJP path only, like the rest of
+    # the fused rank machinery
+    wide_kernel_ok = (
+        config.use_pallas and config.rescale
+        and kernel_backend
+        and blocks is None
+        and 8 < A <= 128
+        and plane_pad is not None
     )
     if fused_rank:
         # fused gather->merge->scatter rank kernel (kernels._kernel_rank):
@@ -600,7 +621,8 @@ def _sample_body(key, leaves, model, params, config, *,
         from phylo_tpu.pruning.kernels import FUSED_RANK, TKF
 
         fused_rank = (
-            FUSED_RANK and (kernel_ok or blocked_kernel_ok)
+            FUSED_RANK
+            and (kernel_ok or blocked_kernel_ok or wide_kernel_ok)
             and plane_pad is not None
             and config.replicate_leaves
             and config.twist is None
@@ -624,7 +646,7 @@ def _sample_body(key, leaves, model, params, config, *,
     save_children = False
     if fused_rank and want_aux:
         from phylo_tpu.pruning.kernels import (
-            SAVE_CHILDREN_CAP, TS, _rank_tile,
+            SAVE_CHILDREN_CAP, TS, _rank_tile, wide_rank_kernel,
         )
 
         # the FINAL padded Sp (incl. the 's'-mesh multiple below) and
@@ -634,13 +656,17 @@ def _sample_body(key, leaves, model, params, config, *,
         ns_k = s_mesh.shape["s"] if s_mesh is not None else 1
         Sp_k = -(-S // (TS * ns_k)) * (TS * ns_k)
         GA_k = leaves.shape[1]
+        wide_k = wide_rank_kernel(
+            blocks[0] if blocks is not None else 1,
+            blocks[1] if blocks is not None else GA_k,
+        )
         resid_bytes = 2 * n_ranks * K * GA_k * Sp_k * leaves.dtype.itemsize
         # below tk=16 the re-gather backward's per-particle DMA count
         # explodes (spike A->8 Sp=1664 tk=8: 1004 ms/step vs 124 with
         # saved children): ignore the byte cap there, bounded by HBM
         save_children = (
             resid_bytes <= SAVE_CHILDREN_CAP
-            or (_rank_tile(Sp_k // ns_k, GA_k) < 16
+            or (_rank_tile(Sp_k // ns_k, GA_k, wide=wide_k) < 16
                 and resid_bytes <= 6 * 2 ** 30)
         )
     if use_pallas or fused_rank:

@@ -632,6 +632,7 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
     from phylo_tpu.pruning.kernels import (
         INTERPRET, TKF, _rank_tile, fused_rank_bwd,
         fused_rank_bwd_saved, shard_fused_rank_bwd, site_sharded_mesh,
+        wide_rank_kernel,
     )
 
     use_fused = (
@@ -640,8 +641,11 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
     )
     s_mesh = site_sharded_mesh(shardings)
     ns_tile = s_mesh.shape["s"] if s_mesh is not None else 1
+    wide_k = wide_rank_kernel(
+        P_all.shape[2] if P_all.ndim == 5 else 1, P_all.shape[-1]
+    )
     if (use_fused and aux.get("child_l") is None
-            and _rank_tile(Sp // ns_tile, A) < 16):
+            and _rank_tile(Sp // ns_tile, A, wide=wide_k) < 16):
         # no saved residuals AND the small-tile regime where the DMA
         # re-gather backward collapses (see sweep.py save_children,
         # which computes the same per-shard tile): the jnp re-gather

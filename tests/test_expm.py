@@ -138,3 +138,55 @@ def test_hky_structure_and_jc_reduction(rng):
     Pj = np.asarray(m.transition(params, jnp.float64(0.7)))
     np.testing.assert_allclose(Pj, P.T, atol=1e-9)
     assert isinstance(get_model("hky85"), HKY)
+
+
+def test_expm_poisson_matches_scipy_and_chain(rng):
+    """Poisson power-table expm (the wide-alphabet shared-Q fast path,
+    round 5): scipy parity across the full branch-length range incl.
+    the t=0 / tiny-t first-order branch and the mu*b=80 clamp, plus
+    finite gradients matching the delta chain."""
+    import jax
+
+    from phylo_tpu.models.expm import expm_poisson
+
+    for A in (4, 20):
+        M = rng.uniform(0.1, 1.0, (A, A))
+        np.fill_diagonal(M, 0)
+        M = M / M.sum(1, keepdims=True)
+        Q = M - np.diag(M.sum(1))
+        bs = np.concatenate([
+            [0.0, 1e-9, 1e-7, 1e-5],
+            rng.exponential(0.3, 20),
+            [5.0, 20.0, 79.0, 200.0],
+        ])
+        ref = np.stack(
+            [scipy.linalg.expm(Q * b) for b in np.minimum(bs, 80.0)]
+        )
+        P64 = np.asarray(expm_poisson(jnp.asarray(Q), jnp.asarray(bs)))
+        np.testing.assert_allclose(P64, ref, atol=1e-12)
+        P32 = np.asarray(expm_poisson(
+            jnp.asarray(Q, jnp.float32), jnp.asarray(bs, jnp.float32)
+        ))
+        np.testing.assert_allclose(P32, ref, atol=1e-6)
+        assert np.all(P32 >= 0.0)
+
+        g_p = jax.jacfwd(
+            lambda b: expm_poisson(jnp.asarray(Q), b).sum()
+        )(jnp.asarray(bs))
+        # f32 gradients must be FINITE across the whole b range (the
+        # log1p(d) branch emitted inf VJPs at d -> -1 in f32 on TPU)
+        g32 = jax.grad(
+            lambda b: expm_poisson(
+                jnp.asarray(Q, jnp.float32), b).sum()
+        )(jnp.asarray(bs, jnp.float32))
+        assert np.all(np.isfinite(np.asarray(g32)))
+        gq32 = jax.grad(
+            lambda q: expm_poisson(
+                q, jnp.asarray(bs, jnp.float32)).sum()
+        )(jnp.asarray(Q, jnp.float32))
+        assert np.all(np.isfinite(np.asarray(gq32)))
+        g_c = jax.jacfwd(
+            lambda b: expm_ctmc(jnp.asarray(Q), b).sum()
+        )(jnp.asarray(bs))
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_c),
+                                   atol=1e-10)

@@ -479,3 +479,146 @@ def test_fused_rank_bwd_blocked_matches_jnp_vjp(interpret_mode, rng, K,
             np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12,
             err_msg=n,
         )
+
+
+# ---------------------------------------------------------------------
+# Wide-alphabet (MXU) rank kernel bodies: G*A*A > WIDE_UNROLL_CAP
+# routes _kernel_rank_wide / _rank_bwd_core_wide (codon A=61 -> 64,
+# protein A=20 -> 24 dense or G-blocked).  The MXU dot reassociates
+# the A-contraction sums, so parity is relative-tolerance here (the
+# narrow bodies replicate the reference multiply-add order exactly).
+# ---------------------------------------------------------------------
+
+
+def _rank_inputs_wide(rng, K, R, N, G, A, S):
+    import jax.numpy as jnp
+
+    GA = G * A
+    buf = jnp.asarray(rng.uniform(0.05, 1.0, (K, R, GA, S)))
+    leaves = jnp.asarray(rng.uniform(0.05, 1.0, (N, GA, S)))
+    nodes = rng.integers(0, N + R, (2, K))
+    rows = rng.integers(0, K, (2, K))
+    idx = jnp.asarray(
+        np.stack([rows[0], nodes[0], rows[1], nodes[1]]), jnp.int32
+    )
+    shape_p = (K, G, A, A) if G > 1 else (K, A, A)
+    P_l = jnp.asarray(rng.uniform(0.05, 1.0, shape_p))
+    P_r = jnp.asarray(rng.uniform(0.05, 1.0, shape_p))
+    pi = rng.uniform(0.1, 1.0, (GA,))
+    pi = jnp.asarray(pi / pi.sum())
+    w = jnp.asarray(rng.uniform(0.5, 2.0, (S,)))
+    return buf, leaves, idx, P_l, P_r, pi, w
+
+
+def _assert_rel(name, got, want, rtol):
+    got, want = np.asarray(got), np.asarray(want)
+    assert got.shape == want.shape, name
+    scale = np.max(np.abs(want)) + 1e-30
+    np.testing.assert_allclose(got / scale, want / scale, rtol=0,
+                               atol=rtol, err_msg=name)
+
+
+WIDE_CASES = [
+    (8, 3, 4, 1, 16, 128),   # dense, smallest wide alphabet
+    (8, 3, 4, 1, 64, 256),   # dense codon-like (61 padded to 64)
+    (8, 3, 4, 2, 12, 128),   # blocked wide (G*A^2 = 288 > cap)
+]
+
+
+@pytest.mark.parametrize("K,R,N,G,A,S", WIDE_CASES)
+def test_fused_rank_update_wide_matches_ref(interpret_mode, rng, K, R, N,
+                                            G, A, S, monkeypatch):
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(kernels, "TKF", 4)
+    assert kernels.wide_rank_kernel(G, A)
+    buf, leaves, idx, P_l, P_r, pi, w = _rank_inputs_wide(
+        rng, K, R, N, G, A, S
+    )
+    outc = jnp.asarray([R - 1], jnp.int32)
+
+    got = kernels.fused_rank_update(leaves, buf, idx, outc, P_l, P_r,
+                                    pi, w, save_children=True)
+    kernels.INTERPRET = False
+    want = kernels._fused_rank_ref(leaves, buf, idx, outc, P_l, P_r,
+                                   pi, w, save_children=True)
+    kernels.INTERPRET = True
+    names = ["buf", "rootll", "logscale", "child_l", "child_r"]
+    for n, a, b in zip(names, got, want):
+        _assert_rel(n, a, b, 2e-6)
+
+
+@pytest.mark.parametrize("K,R,N,G,A,S", WIDE_CASES)
+def test_fused_rank_bwd_wide_matches_jnp_vjp(interpret_mode, rng, K, R,
+                                             N, G, A, S, monkeypatch):
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(kernels, "TKF", 4)
+    buf, leaves, idx, P_l, P_r, pi, w = _rank_inputs_wide(
+        rng, K, R, N, G, A, S
+    )
+    GA = G * A
+    gm = jnp.asarray(rng.normal(0, 1.0, (K, GA, S)))
+    gr = jnp.asarray(rng.normal(0, 1.0, (K,)))
+    gl = jnp.asarray(rng.normal(0, 1.0, (K,)))
+
+    kernels.INTERPRET = False
+    want = kernels._fused_rank_bwd_ref(leaves, buf, idx, gm, gr, gl,
+                                       P_l, P_r, pi, w)
+    outc = jnp.asarray([R - 1], jnp.int32)
+    _, _, _, m1, m2 = kernels._fused_rank_ref(
+        leaves, buf, idx, outc, P_l, P_r, pi, w, save_children=True
+    )
+    kernels.INTERPRET = True
+    names = ["dm1", "dm2", "dPl", "dPr", "dpi", "dw"]
+    # DMA re-gather variant
+    got = kernels.fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l,
+                                 P_r, pi, w)
+    for n, a, b in zip(names, got, want):
+        if n in ("dpi", "dw"):
+            a, b = np.asarray(a).sum(0), np.asarray(b).sum(0)
+        _assert_rel("regather:" + n, a, b, 5e-6)
+    # saved-children variant
+    got_s = kernels.fused_rank_bwd_saved(m1, m2, gm, gr, gl, P_l, P_r,
+                                         pi, w)
+    for n, a, b in zip(names, got_s, want):
+        if n in ("dpi", "dw"):
+            a, b = np.asarray(a).sum(0), np.asarray(b).sum(0)
+        _assert_rel("saved:" + n, a, b, 5e-6)
+
+
+def test_fused_rank_bwd_wide_handles_max_ties(interpret_mode, rng,
+                                              monkeypatch):
+    """All planes tie at the per-site max: the wide backward must split
+    the reduce_max cotangent among ties exactly like jax.vjp."""
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(kernels, "TKF", 4)
+    K, R, N, A, S = 8, 3, 4, 16, 128
+    buf = jnp.ones((K, R, A, S)) * 0.5
+    leaves = jnp.ones((N, A, S)) * 0.5
+    nodes = rng.integers(0, N + R, (2, K))
+    rows = rng.integers(0, K, (2, K))
+    idx = jnp.asarray(
+        np.stack([rows[0], nodes[0], rows[1], nodes[1]]), jnp.int32
+    )
+    # constant-column transitions -> every output plane identical
+    P_l = jnp.ones((K, A, A)) * 0.3
+    P_r = jnp.ones((K, A, A)) * 0.4
+    pi = jnp.ones((A,)) / A
+    w = jnp.ones((S,))
+    gm = jnp.asarray(rng.normal(0, 1.0, (K, A, S)))
+    gr = jnp.asarray(rng.normal(0, 1.0, (K,)))
+    gl = jnp.asarray(rng.normal(0, 1.0, (K,)))
+
+    got = kernels.fused_rank_bwd(leaves, buf, idx, gm, gr, gl, P_l,
+                                 P_r, pi, w)
+    kernels.INTERPRET = False
+    want = kernels._fused_rank_bwd_ref(leaves, buf, idx, gm, gr, gl,
+                                       P_l, P_r, pi, w)
+    kernels.INTERPRET = True
+    for n, a, b in zip(["dm1", "dm2", "dPl", "dPr", "dpi", "dw"], got,
+                       want):
+        if n in ("dpi", "dw"):
+            a, b = np.asarray(a).sum(0), np.asarray(b).sum(0)
+        _assert_rel(n, a, b, 5e-6)

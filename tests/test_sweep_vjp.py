@@ -424,3 +424,40 @@ def test_data_grads_off_param_grads_identical():
 
     dleaves = jax.grad(loss)(genome)
     np.testing.assert_array_equal(np.asarray(dleaves), 0.0)
+
+
+def test_manual_vjp_wide_alphabet_kernels_match_xla_ad(monkeypatch):
+    """Wide-alphabet (MXU) fused rank kernels in the FULL sweep: an
+    A=12 ReferenceQ model plane-pads to 16 states and routes
+    _kernel_rank_wide / _rank_bwd_core_wide (G*A*A = 144 > cap) under
+    the manual VJP; the XLA-AD jnp path is the oracle.  f32 because the
+    kernels are f32-designed; the MXU dot reassociates sums, so the
+    comparison is relative-tolerance."""
+    from phylo_tpu.pruning import kernels
+
+    genome, model, params = _setup(N=6, S=40, A=12, dtype=jnp.float32)
+    key = jax.random.PRNGKey(3)
+    monkeypatch.setattr(kernels, "TKF", 4)
+    monkeypatch.setattr(kernels, "INTERPRET", True)
+    try:
+        r_k = sample_phylogenies(
+            key, genome, model, params,
+            SweepConfig(K=8, manual_vjp=True),
+        )
+        g_k = _grads(SweepConfig(K=8, manual_vjp=True), genome, model,
+                     params, key)
+    finally:
+        monkeypatch.setattr(kernels, "INTERPRET", False)
+    r_j = sample_phylogenies(
+        key, genome, model, params, SweepConfig(K=8, manual_vjp=False)
+    )
+    g_j = _grads(SweepConfig(K=8, manual_vjp=False), genome, model,
+                 params, key)
+    np.testing.assert_allclose(float(r_k.elbo), float(r_j.elbo),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_j)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.max(np.abs(b)) + 1e-30
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0,
+                                   atol=2e-5)
+        assert np.any(a != 0.0)

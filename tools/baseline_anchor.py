@@ -237,10 +237,93 @@ def anchor_spike():
         points=(128, 256))
 
 
+
+
+def anchor_gamma_primate():
+    """GammaSites G=4 K=512 primate (gamma_primate_step): blocked
+    discrete-Gamma torch recursion, slope-fitted in S."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from baselines.torch_reference import TorchBlockVCSMC
+
+    from phylo_tpu.dataio import load_dataset
+    from phylo_tpu.models.substitution import discrete_gamma_rates
+
+    ds = load_dataset("primate")
+    rates = [float(x) for x in discrete_gamma_rates(1.0, 4)]
+    _anchor_slope(
+        "gamma_primate_K512_fullS_step",
+        lambda: TorchBlockVCSMC(ds.genome, K=512, rates=rates),
+        ds, "baselines/torch_reference.py TorchBlockVCSMC float64 CPU "
+            "fwd+grad (blocked discrete-Gamma G=4, fixed unit-mean "
+            "rates)",
+        points=(128, 256))
+
+
+def anchor_protein_gamma():
+    """Simulated protein 16x500 A=20 GammaSites G=4 K=256
+    (protein_gamma_step): same rng/shape as the bench row."""
+    import numpy as np
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from baselines.torch_reference import TorchBlockVCSMC
+
+    from phylo_tpu.models.substitution import discrete_gamma_rates
+
+    rngp = np.random.default_rng(7)
+    prot = np.eye(20)[rngp.integers(0, 20, (16, 500))]
+    rates = [float(x) for x in discrete_gamma_rates(1.0, 4)]
+
+    class _DS:
+        S = 500
+
+    _anchor_slope(
+        "protein_gamma_K256_fullS_step",
+        lambda: TorchBlockVCSMC(prot, K=256, rates=rates),
+        _DS, "baselines/torch_reference.py TorchBlockVCSMC float64 CPU "
+             "fwd+grad (A=20 blocked discrete-Gamma G=4, same rng(7) "
+             "simulated alignment as the bench row)",
+        points=(125, 250))
+
+
+def anchor_codon():
+    """betacorona1 codons 17x1086 A=61 GY94 K=128 (codon_gy94_step):
+    learnable kappa/omega, batched (K, 61, 61) float64 matrix_exp."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from baselines.torch_reference import TorchGY94VCSMC
+
+    from phylo_tpu.dataio import load_dataset
+    from phylo_tpu.dataio.codons import (
+        codon_dataset,
+        empirical_codon_frequencies,
+    )
+    from phylo_tpu.models.codon import _structure_masks
+
+    ds = codon_dataset(load_dataset("betacorona1"))
+    freqs = empirical_codon_frequencies(ds.genome)
+    masks = _structure_masks()
+    _anchor_slope(
+        "codon_gy94_K128_fullS_step",
+        lambda: TorchGY94VCSMC(ds.genome, K=128, frequencies=freqs,
+                               masks=masks),
+        ds, "baselines/torch_reference.py TorchGY94VCSMC float64 CPU "
+            "fwd+grad (GY94 61-codon, empirical F61, batched "
+            "matrix_exp)",
+        points=(128, 256))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("jc69", "all"):
         anchor_jc69_small()
+    if which in ("gamma", "all"):
+        anchor_gamma_primate()
+    if which in ("protein", "all"):
+        anchor_protein_gamma()
+    if which in ("codon", "all"):
+        anchor_codon()
     if which in ("fish", "all"):
         anchor_fish()
     if which in ("ds1", "all"):
