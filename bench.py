@@ -272,6 +272,33 @@ def measure_details():
     attach_baseline("jc69_csmc_small", "primates_small_jc69_K128_fwd_sweep",
                     "sweep_seconds",
                     out["jc69_csmc_small"]["fwd_sweep_ms"] / 1000)
+    # 1b. the same config as a 32-seed vmapped batch (the reference's
+    #     own protocol repeats every config >= 3x, autorun.sh:3-12;
+    #     posterior workflows run dozens): per-sweep THROUGHPUT
+    #     amortizes the ~0.26 ms dispatch floor that dominates the
+    #     single-sweep latency row (tools/smallk_probe.py round 5)
+    ds_j = load_dataset("primate_data_wang")
+    jmodel = JC69(A=ds_j.A)
+    jparams = {
+        "model": jmodel.init_params(jnp.float32),
+        "branches": init_branch_params(ds_j.N, dtype=jnp.float32),
+    }
+    jleaves = jnp.asarray(ds_j.genome, dtype=jnp.float32)
+    jcfg = SweepConfig(K=128)
+    B_j = 32
+    fn_j = jax.jit(jax.vmap(lambda key: sample_phylogenies(
+        key, jleaves, jmodel, jparams, jcfg).elbo))
+    t_j, e_j = timed(fn_j, jax.random.split(jax.random.PRNGKey(0), B_j),
+                     iters=20)
+    out["jc69_csmc_small_throughput"] = {
+        "config": f"primate_data_wang N={ds_j.N} S={ds_j.S} K=128 JC69 "
+                  f"fwd, {B_j}-seed vmapped batch (per-sweep)",
+        "fwd_sweep_ms": round(t_j / B_j * 1000, 3),
+        "elbo": float(jnp.mean(e_j)),
+    }
+    attach_baseline("jc69_csmc_small_throughput",
+                    "primates_small_jc69_K128_fwd_sweep",
+                    "sweep_seconds", t_j / B_j)
     # 2. VCSMC primate (headline epoch measured by main())
     fwd_time("primate_data", ReferenceQ, 2048, label="vcsmc_primate")
     # 3a. the reference's learned-Q mode + batched expm on fish

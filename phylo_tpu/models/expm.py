@@ -58,6 +58,10 @@ _WIDE_PRECISION = _os.environ.get("PHYLO_EXPM_WIDE_PRECISION",
 # tools/protein_trace.py round 5).  "1" forces it everywhere the shape
 # allows, "0" disables.
 _POISSON_MODE = _os.environ.get("PHYLO_EXPM_POISSON", "auto")
+# batch cap for the Pallas expm kernel (see expm_ctmc's gate comment)
+_KERNEL_BATCH_CAP = int(
+    _os.environ.get("PHYLO_EXPM_KERNEL_BATCH_CAP", str(2 ** 20))
+)
 
 # Sharded traces: pallas_call has no partitioning rule of its own, so
 # under a mesh the Shardy partitioner runs the kernel fully REPLICATED
@@ -120,8 +124,15 @@ def expm_ctmc(Q, b, *, order=12, squarings=12):
             and jax.default_backend() == "tpu"
             and dtype == jnp.float32
             # the kernel unrolls A^2 entry vectors (Mosaic budget) and
-            # pads the batch to a 512-lane tile
-            and Q.ndim == 2 and A <= 8 and b.size >= 2048)
+            # pads the batch to a 512-lane tile.  Above the batch cap
+            # its custom-VJP residuals -- which PIERCE jax.checkpoint
+            # (remat never recomputes across a custom_vjp boundary) --
+            # dominate memory: the paper-scale twist (M = K = 1024)
+            # OOMed HBM on 70 GB of kernel residuals stacked over the
+            # rank scan.  Huge batches take expm_poisson instead:
+            # plain jnp, so checkpoint rematerializes it freely.
+            and Q.ndim == 2 and A <= 8
+            and 2048 <= b.size <= _KERNEL_BATCH_CAP)
     )
     if use_kernel:
         from phylo_tpu.models.expm_kernel import expm_ctmc_pallas
@@ -133,7 +144,7 @@ def expm_ctmc(Q, b, *, order=12, squarings=12):
         or (_POISSON_MODE == "auto"
             and jax.default_backend() == "tpu"
             and dtype == jnp.float32
-            and A > 8)
+            and (A > 8 or b.size > _KERNEL_BATCH_CAP))
     )
     if use_poisson:
         return expm_poisson(Q.astype(dtype), b.astype(dtype))
@@ -245,7 +256,8 @@ def expm_poisson(Q, b, *, n_max=160, clamp=80.0):
     return jnp.where((t < 1e-6)[..., None, None], lin, P)
 
 
-def expm_reversible(Q, pi, b, *, clip=True):
+def expm_reversible(Q, pi, b, *, clip=True, chain_fallback=True,
+                    gap_tol=1e-5):
     """expm(Q^T b) for a REVERSIBLE generator via the classical
     spectral method (the route every ML phylogenetics package takes
     for GTR-class models, and the big lever for wide alphabets).
@@ -260,8 +272,21 @@ def expm_reversible(Q, pi, b, *, clip=True):
     batched transition is a single matmul + elementwise exp, versus
     the 23-matmul uniformized chain (models/expm.py expm_ctmc): at
     A=61 the chain is ~51% of the codon train step (ROADMAP r5 item
-    1).  Gradients flow through jax's eigh VJP (stable for the
-    generically distinct eigenvalues of these generators).
+    1).  Gradients flow through jax's eigh VJP, whose eigenVECTOR
+    cotangents divide by eigenvalue gaps -- fine for the generically
+    distinct spectra of real substitution matrices, but a learnable
+    pi/kappa/omega can drive the spectrum toward degeneracy (exactly
+    degenerate for uniform exchangeabilities, the JC69 limit).
+
+    chain_fallback=True (default) guards that edge: the RELATIVE
+    minimum eigengap is probed with eigvalsh -- eigenVALUE
+    derivatives involve no gap division, so the probe itself is
+    VJP-safe -- and a `lax.cond` routes collapsed spectra
+    (gap < gap_tol * max|w|) through the uniformized/Poisson chain
+    (expm_ctmc(Q.T, b): Q.T is Metzler, so the positive-series
+    argument holds; the non-spectral GY94 path already uses it).
+    Both branches are compiled; the spectral one runs whenever the
+    decomposition is well-conditioned.
 
     clip=True zeroes the tiny negative entries spectral
     reconstruction can produce near 0 (exact expm is nonnegative);
@@ -278,16 +303,32 @@ def expm_reversible(Q, pi, b, *, clip=True):
     d = jnp.sqrt(jnp.maximum(pi, 1e-30))
     S = Q * (d[:, None] / d[None, :])
     S = (S + S.T) / 2          # exact symmetry for eigh
-    w, U = jnp.linalg.eigh(S)
-    E = jnp.exp(w * b[..., None])                     # (..., A)
-    left = (U * d[:, None]) * E[..., None, :]         # (..., A, A)
-    right = (U / d[:, None]).T
-    # PT[..., i, j] = sum_k d_i U_ik e^{w_k b} U_jk / d_j
-    PT = jnp.einsum("...ik,kj->...ij", left, right,
-                    precision="highest")
-    if clip:
-        PT = jnp.maximum(PT, 0.0)
-    return PT
+
+    def spectral(Q, pi, b, S):
+        w, U = jnp.linalg.eigh(S)
+        E = jnp.exp(w * b[..., None])                     # (..., A)
+        left = (U * d[:, None]) * E[..., None, :]         # (..., A, A)
+        right = (U / d[:, None]).T
+        # PT[..., i, j] = sum_k d_i U_ik e^{w_k b} U_jk / d_j
+        PT = jnp.einsum("...ik,kj->...ij", left, right,
+                        precision="highest")
+        if clip:
+            PT = jnp.maximum(PT, 0.0)
+        return PT
+
+    if not chain_fallback:
+        return spectral(Q, pi, b, S)
+
+    from jax import lax
+
+    w_probe = jnp.linalg.eigvalsh(S)
+    scale = jnp.maximum(jnp.max(jnp.abs(w_probe)), 1e-30)
+    gap = jnp.min(jnp.diff(w_probe)) / scale
+    return lax.cond(
+        gap < gap_tol,
+        lambda: expm_ctmc(Q.T, b),
+        lambda: spectral(Q, pi, b, S),
+    )
 
 
 def _matmul(a, b):

@@ -29,6 +29,7 @@ accelerates forward/eval paths with exact AD semantics.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -919,6 +920,10 @@ def _kernel_ll_bwd2(m1_ref, m2_ref, pl_ref, pr_ref, pi_ref, w_ref,
 # the defaults below
 _BWD_TK = None
 _BWD_TS = None
+# M-axis chunk for the twist backward kernel (see _pair_ll_bwd_pallas):
+# the kernel's P/T blocks are (M, tk, A*A), fine at the reference's
+# M ~ 10 but vmem-fatal at paper-scale M = K
+TWIST_BWD_M_CHUNK = int(_os.environ.get("PHYLO_TWIST_BWD_M_CHUNK", "64"))
 
 
 def _pair_ll_bwd_pallas(m1, m2, P_l, P_r, pi, weights, g):
@@ -931,6 +936,38 @@ def _pair_ll_bwd_pallas(m1, m2, P_l, P_r, pi, weights, g):
     from jax.experimental.pallas import tpu as pltpu
 
     M, K, A, _ = P_l.shape
+    if M > TWIST_BWD_M_CHUNK:
+        # The kernel rides the WHOLE M axis in its (M, tk, A*A) blocks
+        # -- sized for the reference's M ~ 10; at paper-scale M = K
+        # (M=1024: 527 MB of vmem blocks, a compile-time OOM).  The
+        # per-m contributions are independent (dm additive over m, dP
+        # rows separable), so chunk M with lax.map and combine.  Padded
+        # chunks carry g = 0, which zeroes every cotangent they touch
+        # (P pads are benign positive constants).
+        Mc = TWIST_BWD_M_CHUNK
+        Mp = _round_up(M, Mc)
+        P_l_c = jnp.concatenate(
+            [P_l, jnp.ones((Mp - M, K, A, A), P_l.dtype)]
+        ).reshape(Mp // Mc, Mc, K, A, A)
+        P_r_c = jnp.concatenate(
+            [P_r, jnp.ones((Mp - M, K, A, A), P_r.dtype)]
+        ).reshape(Mp // Mc, Mc, K, A, A)
+        g_c = jnp.concatenate(
+            [g, jnp.zeros((Mp - M, K), g.dtype)]
+        ).reshape(Mp // Mc, Mc, K)
+        outs = lax.map(
+            lambda args: _pair_ll_bwd_pallas(
+                m1, m2, args[0], args[1], pi, weights, args[2]
+            ),
+            (P_l_c, P_r_c, g_c),
+        )
+        dm1 = jnp.sum(outs[0], axis=0)
+        dm2 = jnp.sum(outs[1], axis=0)
+        dpl = outs[2].reshape(Mp, K, A, A)[:M]
+        dpr = outs[3].reshape(Mp, K, A, A)[:M]
+        dpi = jnp.sum(outs[4], axis=0)
+        dw = jnp.sum(outs[5], axis=0)
+        return dm1, dm2, dpl, dpr, dpi, dw
     S = m1.shape[-1]
     dtype = m1.dtype
     tk_default = _BWD_TK or 128
@@ -2141,3 +2178,135 @@ def shard_fused_rank_bwd(mesh, saved=False):
     out_specs = (sm3, sm3, P(), P(), P(), P(None, "s"))
     return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
+
+
+# ---------------------------------------------------------------------
+# k-sharded child exchange (VERDICT r4 weak item 2 / ROADMAP r5 item 2)
+# ---------------------------------------------------------------------
+# On a particle-sharded mesh ('k' > 1) the per-rank child fetch
+# buf[row, node] crosses shards: after resampling, a particle's
+# ancestor row can live on any device, so the fused DMA rank kernels
+# cannot run (their gathers are device-local) and GSPMD's generic
+# lowering of the jnp gather all-gathers operands.  These helpers
+# replace that with the STRUCTURED minimal exchange:
+#
+#   gather:  every (row, node) pair exists on exactly one 'k' shard,
+#            so each shard contributes its locally-resolved slabs
+#            (masked to zero elsewhere) and ONE psum_scatter over 'k'
+#            delivers each shard exactly its own particles' children
+#            -- the same data volume the single-device DMA gather
+#            moves, as one fused collective on ICI.
+#   scatter: the reverse pass's pending[row, col] += dm transposes to
+#            ONE all_gather over 'k' + a local masked scatter-add.
+#
+# With children explicit, the per-shard Pallas MERGE kernel
+# (fused_merge_loglik) becomes legal on k-meshes -- see
+# shard_merge_loglik.  The whole-rank DMA kernels stay
+# single-device / 's'-mesh only (documented in the module header).
+
+
+def kshard_mesh(shardings):
+    """The mesh when the particle axis is sharded ('k' > 1); None
+    otherwise."""
+    if shardings is None:
+        return None
+    mesh = shardings.mesh
+    if dict(mesh.shape).get("k", 1) <= 1:
+        return None
+    return mesh
+
+
+def _sspec(mesh):
+    return "s" if dict(mesh.shape).get("s", 1) > 1 else None
+
+
+def shard_gather_pair(mesh):
+    """Pair child fetch buf[brow, col] on a 'k'-sharded buffer as one
+    structured exchange (see section comment).
+
+    Call with GLOBAL-shape args: buf (K, C, GA, Sp) sharded
+    P('k', None, None, 's'), brow / col (K, 2) replicated int32.
+    Returns (K, 2, GA, Sp) sharded like buf.  Values are bit-identical
+    to buf[brow, col] (each pair resolved on exactly one shard; the
+    psum adds zeros elsewhere).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    ss = _sspec(mesh)
+
+    def body(buf, brow, col):
+        K_loc, C = buf.shape[0], buf.shape[1]
+        k0 = jax.lax.axis_index("k") * K_loc
+        rloc = jnp.clip(brow - k0, 0, K_loc - 1)        # (K, 2)
+        mine = (brow >= k0) & (brow < k0 + K_loc)
+        contrib = jnp.where(
+            mine[..., None, None],
+            buf[rloc, jnp.clip(col, 0, C - 1)],
+            0.0,
+        )                                               # (K, 2, GA, Sp_s)
+        return jax.lax.psum_scatter(
+            contrib, "k", scatter_dimension=0, tiled=True
+        )
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("k", None, None, ss), P(), P()),
+        out_specs=P("k", None, None, ss),
+        check_vma=False,
+    )
+
+
+def shard_scatter_pair_add(mesh):
+    """Transpose of shard_gather_pair: pending[brow, col] += dm across
+    'k' shards.  dm (K, 2, GA, Sp) arrives k-sharded; one all_gather
+    over 'k' exposes every cotangent to the shard owning its target
+    row, which applies a local masked scatter-add.  col >= C drops the
+    update (same sentinel contract as .at[].add(mode='drop'))."""
+    from jax.sharding import PartitionSpec as P
+
+    ss = _sspec(mesh)
+
+    def body(pending, brow, col, dm):
+        K_loc, C = pending.shape[0], pending.shape[1]
+        k0 = jax.lax.axis_index("k") * K_loc
+        dm_all = jax.lax.all_gather(dm, "k", axis=0, tiled=True)
+        mine = (brow >= k0) & (brow < k0 + K_loc)
+        rloc = jnp.where(mine, brow - k0, K_loc)        # OOB row drops
+        return pending.at[rloc, col].add(dm_all, mode="drop")
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("k", None, None, ss), P(), P(),
+                  P("k", None, None, ss)),
+        out_specs=P("k", None, None, ss),
+        check_vma=False,
+    )
+
+
+def shard_merge_loglik(mesh):
+    """fused_merge_loglik per ('k', 's') shard: with children made
+    explicit by shard_gather_pair, every particle row is device-local,
+    so the merge kernel is legal per shard; the site-summed scalars
+    psum over 's'.  Differentiating through this shard_map runs the
+    op's custom VJP per shard and psums the replicated-operand (pi,
+    weights-free) cotangents in the transpose -- the XLA-AD k-mesh
+    path keeps exact gradient semantics."""
+    from jax.sharding import PartitionSpec as P
+
+    ss = _sspec(mesh)
+
+    def body(m1, m2, P_l, P_r, pi, w):
+        merged, rootll, d_lsc = fused_merge_loglik(m1, m2, P_l, P_r,
+                                                   pi, w)
+        if ss is not None:
+            rootll = jax.lax.psum(rootll, "s")
+            d_lsc = jax.lax.psum(d_lsc, "s")
+        return merged, rootll, d_lsc
+
+    sm = P("k", None, ss)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(sm, sm, P("k"), P("k"), P(), P(ss)),
+        out_specs=(sm, P("k"), P("k")),
+        check_vma=False,
+    )

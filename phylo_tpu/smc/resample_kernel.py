@@ -66,6 +66,15 @@ def categorical_pallas(key, logits):
     import jax.experimental.pallas as pl
 
     K = logits.shape[0]
+    # ancestor indices are integers (no tangent) and the reference's
+    # biased VSMC gradient treats them as constants, but under whole-
+    # sweep XLA AD (e.g. large-K twist configs where the manual VJP
+    # stands down) jax still JVP-traces this call -- and pallas_call
+    # has no JVP rule (pl.program_id asserts outside a grid context).
+    # stop_gradient makes the tangents symbolic zeros so AD skips the
+    # kernel entirely; jax.random.categorical needs no such guard only
+    # because its output is already integer-typed at the argmax.
+    logits = jax.lax.stop_gradient(logits)
     KL = -(-K // 128) * 128                      # lane-pad categories
     Kp = -(-K // TR) * TR                        # row-pad draws
     neg_inf = jnp.asarray(-jnp.inf, logits.dtype)

@@ -476,10 +476,17 @@ def sample_phylogenies(key, leaves, model, params, config, *,
             # the twist path's AD bookkeeping (per-rank buffer
             # residuals + dense chunk-cotangent accumulation) is what
             # the manual pass eliminates -- engage whenever the
-            # (R, P, M, K) ll residual stays modest
+            # (R, P, M, K) ll residual fits HBM comfortably.  At
+            # paper-scale M = K (autorun.sh:3, M=$np K=1024) the llm
+            # residual is ~3 GB -- large, but XLA AD is strictly WORSE
+            # there: its chunk-skipping lax.cond turns the
+            # loop-invariant message buffer into stacked per-chunk
+            # residuals ((R, n_chunks, K, N+R, A, S) = 65 GB at
+            # primate M=K=1024 b=256, round-5 HLO audit), so the
+            # manual pass is the only route that fits
             R, P = N - 1, (N * (N - 1)) // 2
             llm_bytes = R * P * config.twist.M * config.K * 4
-            manual = N <= 64 and llm_bytes <= 256 * 2**20
+            manual = N <= 64 and llm_bytes <= 4 * 2**30
     # the manual twist reverse pass re-gathers candidate children from
     # the unified buffer, so it needs the replicated-leaf layout
     twist_ok = config.twist is None or config.replicate_leaves
@@ -544,6 +551,7 @@ def _sample_body(key, leaves, model, params, config, *,
               else None)
     from phylo_tpu.pruning.kernels import (
         INTERPRET as _kernels_interpret,
+        kshard_mesh,
         site_sharded_mesh,
     )
 
@@ -551,6 +559,12 @@ def _sample_body(key, leaves, model, params, config, *,
     # legal per shard (all particle rows device-local; rootll/d_lsc
     # site-sums psum'd) -- see kernels.shard_fused_rank_update
     s_mesh = site_sharded_mesh(shardings)
+    # particle-sharded meshes ('k' > 1): the cross-shard child fetch
+    # runs as the structured psum_scatter exchange and the per-shard
+    # Pallas MERGE kernel re-engages -- see kernels.shard_gather_pair /
+    # shard_merge_loglik (the whole-rank DMA kernels stay off: their
+    # gathers are device-local by construction)
+    k_mesh = kshard_mesh(shardings)
     kernel_backend = jax.default_backend() == "tpu" or _kernels_interpret
     kernel_ok = (
         config.use_pallas and config.rescale
@@ -560,10 +574,15 @@ def _sample_body(key, leaves, model, params, config, *,
         and A <= 8
         and blocks is None
     )
-    # the non-fused merge kernel has no partitioning rule and no
-    # shard_map wrapper: single-device traces only (sharded sweeps use
-    # the fused rank path on 's'-only meshes, jnp + GSPMD otherwise)
+    # the non-fused merge kernel has no partitioning rule of its own:
+    # single-device traces call it directly; particle-sharded meshes
+    # get it per shard through kernels.shard_merge_loglik (children
+    # made explicit by the shard_gather_pair exchange); 's'-only
+    # meshes use the fused rank path below, jnp + GSPMD otherwise
     use_pallas = kernel_ok and shardings is None
+    use_pallas_k = (
+        kernel_ok and k_mesh is not None and config.replicate_leaves
+    )
     # _dma_gather_children moves (GA, Sp) slabs: Mosaic requires the
     # sliced row count to pack the 8-row f32 tile evenly (GA % 8 == 0
     # or 8 % GA == 0) -- A=7 (spikeGP) fails with "slice shape must be
@@ -962,20 +981,39 @@ def _sample_body(key, leaves, model, params, config, *,
             node_lsc = d_lsc + lsc1 + lsc2
             ll_new = rootll_raw + lsc1 + lsc2
         else:
-            msgs, _ = _node_lookup(
-                leaves, state["internal_msgs"],
-                state["internal_logscale"], row_of_node, nodes,
-                unified=config.replicate_leaves, rows=rows_n,
-            )
+            if k_mesh is not None and config.replicate_leaves:
+                # particle-sharded mesh: the cross-shard child fetch
+                # runs as ONE masked-contribution psum_scatter over 'k'
+                # (kernels.shard_gather_pair) instead of GSPMD's
+                # generic gather lowering; bit-identical values
+                from phylo_tpu.pruning.kernels import shard_gather_pair
+
+                own = jnp.arange(K, dtype=rows_n.dtype)[:, None]
+                brow = jnp.where(is_leaf_n, own, rows_n)
+                msgs = shard_gather_pair(k_mesh)(
+                    state["internal_msgs"], brow.astype(jnp.int32),
+                    nodes.astype(jnp.int32),
+                )
+            else:
+                msgs, _ = _node_lookup(
+                    leaves, state["internal_msgs"],
+                    state["internal_logscale"], row_of_node, nodes,
+                    unified=config.replicate_leaves, rows=rows_n,
+                )
             m1, m2 = msgs[:, 0], msgs[:, 1]
 
             # ---- 4. Pruning update (the hot kernel) --------------------
-            if use_pallas:
-                from phylo_tpu.pruning.kernels import fused_merge_loglik
+            if use_pallas or use_pallas_k:
+                from phylo_tpu.pruning.kernels import (
+                    fused_merge_loglik,
+                    shard_merge_loglik,
+                )
 
                 w_vec = (site_weights if site_weights is not None
                          else jnp.ones((S,), dtype))
-                merged, rootll_raw, d_lsc = fused_merge_loglik(
+                merge_fn = (shard_merge_loglik(k_mesh) if use_pallas_k
+                            else fused_merge_loglik)
+                merged, rootll_raw, d_lsc = merge_fn(
                     m1, m2, P_l, P_r, stationary, w_vec
                 )
                 node_lsc = d_lsc + lsc1 + lsc2

@@ -631,7 +631,8 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
     # K % TKF == 0), so its backward twin applies too
     from phylo_tpu.pruning.kernels import (
         INTERPRET, TKF, _rank_tile, fused_rank_bwd,
-        fused_rank_bwd_saved, shard_fused_rank_bwd, site_sharded_mesh,
+        fused_rank_bwd_saved, kshard_mesh, shard_fused_rank_bwd,
+        shard_gather_pair, shard_scatter_pair_add, site_sharded_mesh,
         wide_rank_kernel,
     )
 
@@ -640,6 +641,7 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
         and (jax.default_backend() == "tpu" or INTERPRET)
     )
     s_mesh = site_sharded_mesh(shardings)
+    k_mesh = kshard_mesh(shardings)
     ns_tile = s_mesh.shape["s"] if s_mesh is not None else 1
     wide_k = wide_rank_kernel(
         P_all.shape[2] if P_all.ndim == 5 else 1, P_all.shape[-1]
@@ -694,7 +696,15 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
             # pays a (K, 2, A, S) materialization + squeeze copies here
             # (bandwidth beats latency at reverse-pass sizes)
             is_leaf = ids < N
-            if buf.shape[1] == N + R:
+            if k_mesh is not None and buf.shape[1] == N + R:
+                # particle-sharded mesh: structured psum_scatter
+                # exchange, same as the forward (shard_gather_pair)
+                brow = jnp.where(is_leaf, own, rows)
+                m = shard_gather_pair(k_mesh)(
+                    buf, brow.astype(jnp.int32), ids.astype(jnp.int32)
+                )
+                m1, m2 = m[:, 0], m[:, 1]
+            elif buf.shape[1] == N + R:
                 brow = jnp.where(is_leaf, own, rows)
                 m1 = buf[brow[:, 0], ids[:, 0]]
                 m2 = buf[brow[:, 1], ids[:, 1]]
@@ -728,12 +738,21 @@ def _messages_bwd(aux, P_all, pi, g_rootll, g_dlsc, N, config,
             # latent-harmless only because reverse step R-1 had already
             # consumed that column)
             qd = jnp.where(is_leaf, R, ids - N)
-            pending = pending.at[rows[:, 0], qd[:, 0]].add(
-                dm1, mode="drop"
-            )
-            pending = pending.at[rows[:, 1], qd[:, 1]].add(
-                dm2, mode="drop"
-            )
+            if k_mesh is not None:
+                # cross-shard cotangent routing: all_gather over 'k' +
+                # local masked scatter-add (shard_scatter_pair_add)
+                pending = shard_scatter_pair_add(k_mesh)(
+                    pending, rows.astype(jnp.int32),
+                    qd.astype(jnp.int32),
+                    jnp.stack([dm1, dm2], axis=1),
+                )
+            else:
+                pending = pending.at[rows[:, 0], qd[:, 0]].add(
+                    dm1, mode="drop"
+                )
+                pending = pending.at[rows[:, 1], qd[:, 1]].add(
+                    dm2, mode="drop"
+                )
 
     dP_all = jnp.concatenate(
         [jnp.stack(dPl_out), jnp.stack(dPr_out)], axis=1

@@ -622,3 +622,30 @@ def test_fused_rank_bwd_wide_handles_max_ties(interpret_mode, rng,
         if n in ("dpi", "dw"):
             a, b = np.asarray(a).sum(0), np.asarray(b).sum(0)
         _assert_rel(n, a, b, 5e-6)
+
+
+def test_pair_loglik_bwd_m_chunking_matches_unchunked(interpret_mode,
+                                                      rng, monkeypatch):
+    """Paper-scale M = K blows the twist backward kernel's (M, tk, A*A)
+    vmem blocks; _pair_ll_bwd_pallas chunks the M axis with lax.map
+    (additive dm, separable dP rows, zero-g padding).  Chunked output
+    must equal the unchunked kernel, including a non-divisible M."""
+    import jax.numpy as jnp
+
+    K, S, A, M = 8, 128, 4, 5
+    m1 = jnp.asarray(rng.uniform(0.05, 1.0, (K, A, S)))
+    m2 = jnp.asarray(rng.uniform(0.05, 1.0, (K, A, S)))
+    P_l = jnp.asarray(rng.uniform(0.05, 1.0, (M, K, A, A)))
+    P_r = jnp.asarray(rng.uniform(0.05, 1.0, (M, K, A, A)))
+    pi = rng.uniform(0.1, 1.0, (A,))
+    pi = jnp.asarray(pi / pi.sum())
+    w = jnp.asarray(rng.uniform(0.5, 2.0, (S,)))
+    g = jnp.asarray(rng.normal(0, 1.0, (M, K)))
+
+    want = kernels._pair_ll_bwd_pallas(m1, m2, P_l, P_r, pi, w, g)
+    monkeypatch.setattr(kernels, "TWIST_BWD_M_CHUNK", 2)   # 5 -> 3 chunks
+    got = kernels._pair_ll_bwd_pallas(m1, m2, P_l, P_r, pi, w, g)
+    for n, a, b in zip(["dm1", "dm2", "dPl", "dPr", "dpi", "dw"], got,
+                       want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-13, err_msg=n)

@@ -177,3 +177,72 @@ def test_sharded_sweep_fused_kernels_match_single_device(interpret_mode,
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-8, atol=1e-12)
+
+
+def test_kshard_gather_scatter_roundtrip(rng):
+    """shard_gather_pair == buf[brow, col] bit-for-bit on a k- and
+    k x s-sharded buffer, and shard_scatter_pair_add == the local
+    .at[].add(mode='drop') with the same sentinel contract."""
+    K, C, GA, Sp = 8, 6, 4, 256
+    buf = jnp.asarray(rng.uniform(0.1, 1.0, (K, C, GA, Sp)))
+    brow = jnp.asarray(rng.integers(0, K, (K, 2)), jnp.int32)
+    col = jnp.asarray(rng.integers(0, C, (K, 2)), jnp.int32)
+    for axes in (((2,), ("k",)), ((2, 2), ("k", "s"))):
+        mesh = make_mesh(*axes)
+        got = jax.jit(kernels.shard_gather_pair(mesh))(buf, brow, col)
+        want = buf[brow, col]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=0)
+
+        dm = jnp.asarray(rng.normal(0, 1.0, (K, 2, GA, Sp)))
+        cold = col.at[0, 0].set(C)            # sentinel: dropped
+        got2 = jax.jit(kernels.shard_scatter_pair_add(mesh))(
+            buf, brow, cold, dm)
+        want2 = buf.at[brow, cold].add(dm, mode="drop")
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_kshard_sweep_merge_kernel_matches_single_device(interpret_mode,
+                                                         rng):
+    """Round-5: a 'k'-sharded sweep runs the structured psum_scatter
+    child exchange + the per-shard Pallas MERGE kernel
+    (kernels.shard_merge_loglik) and must match the single-device
+    kernel sweep -- value and parameter gradients -- under both XLA AD
+    and the manual whole-sweep VJP."""
+    from phylo_tpu.dataio import simulate_dna
+    from phylo_tpu.models.branches import init_branch_params
+    from phylo_tpu.models.substitution import ReferenceQ
+    from phylo_tpu.smc.sweep import SweepConfig, sample_phylogenies
+
+    N, K, S = 6, 8, 100
+    ds = simulate_dna(N, S, seed=7)
+    model = ReferenceQ(A=4)
+    params = {
+        "model": model.init_params(jnp.float64),
+        "branches": init_branch_params(N, dtype=jnp.float64),
+    }
+    leaves = jnp.asarray(ds.genome, jnp.float64)
+
+    for manual in (False, True):
+        config = SweepConfig(K=K, manual_vjp=manual)
+
+        def loss(params, shardings):
+            return -sample_phylogenies(
+                jax.random.PRNGKey(3), leaves, model, params, config,
+                shardings=shardings,
+            ).elbo
+
+        v0, g0 = jax.jit(
+            jax.value_and_grad(lambda p: loss(p, None)))(params)
+        for axes in (((2,), ("k",)), ((2, 2), ("k", "s"))):
+            sh = sweep_sharding(make_mesh(*axes))
+            v1, g1 = jax.jit(
+                jax.value_and_grad(lambda p: loss(p, sh)))(params)
+            np.testing.assert_allclose(float(v0), float(v1),
+                                       rtol=1e-10)
+            for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-8,
+                    atol=1e-12,
+                )

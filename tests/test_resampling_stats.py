@@ -118,3 +118,29 @@ def test_resample_kernel_auto_gate(monkeypatch):
     monkeypatch.setattr(resampling, "_KERNEL_MODE", "0")
     resample_indices(jax.random.PRNGKey(1), lw, "multinomial")
     assert hits == [2048, 2048]               # "0" disables
+
+
+def test_categorical_pallas_survives_jvp_tracing(monkeypatch):
+    """Differentiating a sweep that draws ancestors with the HW-PRNG
+    kernel must not JVP-trace the pallas_call (pallas has no JVP rule;
+    pl.program_id asserts outside a grid context) -- round-5 regression
+    from the first XLA-AD + kernel-on config (paper-scale twist
+    K=1024).  stop_gradient inside categorical_pallas makes the
+    tangents symbolic zeros."""
+    import jax
+    import jax.numpy as jnp
+
+    from phylo_tpu.smc import resample_kernel as rk
+
+    def loss(logits):
+        idx = rk.categorical_pallas(jax.random.PRNGKey(0), logits)
+        # downstream use: gather weights by the sampled ancestors
+        return jnp.sum(logits[idx] ** 2)
+
+    # trace only: the TPU prng primitives have no CPU lowering, but the
+    # original failure was an AD-*tracing* assertion, which make_jaxpr
+    # reproduces without executing the kernel
+    jaxpr = jax.make_jaxpr(jax.grad(loss))(
+        jnp.linspace(-1.0, 1.0, 64, dtype=jnp.float32)
+    )
+    assert "pallas_call" in str(jaxpr)
