@@ -395,6 +395,8 @@ def measure_details():
         "train_step_ms": round(t * 1000, 3),
         "elbo": -float(v),
     }
+    attach_baseline("gamma_primate_step", "gamma_primate_K512_fullS_step",
+                    "step_seconds", t)
 
     # 5c. untimed-regime anchors (VERDICT r3 item 3).  DS4's R = 40
     #     exceeds the 32-rank unroll cap, so this is the SCANNED fused
@@ -410,6 +412,16 @@ def measure_details():
     attach_baseline("spike_a7_step", "spike_K2048_fullS_step",
                     "step_seconds",
                     out["spike_a7_step"]["train_step_ms"] / 1000)
+    # 5c'. Hohna DS2/DS3 (autorun.sh:7-10 completeness, VERDICT r4
+    #      missing item 2): same protocol as DS1/DS4
+    step_time("hohna_data_2", 2048, None, 3, "ds2_2048_step")
+    attach_baseline("ds2_2048_step", "ds2_K2048_fullS_step",
+                    "step_seconds",
+                    out["ds2_2048_step"]["train_step_ms"] / 1000)
+    step_time("hohna_data_3", 2048, None, 3, "ds3_2048_step")
+    attach_baseline("ds3_2048_step", "ds3_K2048_fullS_step",
+                    "step_seconds",
+                    out["ds3_2048_step"]["train_step_ms"] / 1000)
 
     # 5d. protein + Gamma (A = 20, G = 4 -> A' = 80 product space):
     #     since round 5 this rides the wide MXU rank kernels + manual
@@ -438,6 +450,8 @@ def measure_details():
         "train_step_ms": round(t * 1000, 3),
         "elbo": -float(v),
     }
+    attach_baseline("protein_gamma_step", "protein_gamma_K256_fullS_step",
+                    "step_seconds", t)
 
     # 5e. codon GY94 (A = 61 sense codons, spectral transitions) on
     #     betacorona re-encoded: another reference-absent family row
@@ -468,6 +482,8 @@ def measure_details():
         "train_step_ms": round(t * 1000, 3),
         "elbo": -float(v),
     }
+    attach_baseline("codon_gy94_step", "codon_gy94_K128_fullS_step",
+                    "step_seconds", t)
 
     # 6. VNCSMC epoch on primate at the reference's ACTIVE sweep config
     #    (autorun.sh:3-12: nested=true, K=32, M=10, batch 256), compared

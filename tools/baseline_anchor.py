@@ -314,6 +314,26 @@ def anchor_codon():
         points=(128, 256))
 
 
+
+
+def anchor_ds23():
+    """Hohna DS2 (29 x 2520) and DS3 (36 x 1812) at K=2048: the two
+    autorun.sh datasets (lines 7-10) without bench rows (VERDICT r4
+    missing item 2).  Slope-fitted like the other Hohna anchors."""
+    from baselines.torch_reference import TorchVCSMC
+
+    from phylo_tpu.dataio import load_dataset
+
+    for name, key in (("hohna_data_2", "ds2_K2048_fullS_step"),
+                      ("hohna_data_3", "ds3_K2048_fullS_step")):
+        ds = load_dataset(name)
+        _anchor_slope(
+            key, lambda ds=ds: TorchVCSMC(ds.genome, K=2048),
+            ds, "baselines/torch_reference.py TorchVCSMC float64 CPU "
+                "fwd+grad (reference-equivalent recursion)",
+            points=(128, 256))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("jc69", "all"):
@@ -324,6 +344,8 @@ if __name__ == "__main__":
         anchor_protein_gamma()
     if which in ("codon", "all"):
         anchor_codon()
+    if which in ("ds23", "all"):
+        anchor_ds23()
     if which in ("fish", "all"):
         anchor_fish()
     if which in ("ds1", "all"):
